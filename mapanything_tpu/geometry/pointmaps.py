@@ -1,0 +1,102 @@
+"""Pointmap recombination + SE3 helpers, pure jnp.
+
+Mirrors mapanything/utils/geometry.py
+(convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap:855, geotrf:964,
+inv:1040, closed_form_pose_inverse:1051).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .quats import quaternion_to_rotation_matrix
+
+
+def convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+    ray_directions: jnp.ndarray,
+    depth_along_ray: jnp.ndarray,
+    pose_trans: jnp.ndarray,
+    pose_quats: jnp.ndarray,
+) -> jnp.ndarray:
+    """The factored-geometry recombination: pts_world = R(q) @ (d * dirs) + t.
+
+    Args:
+        ray_directions: (..., H, W, 3)
+        depth_along_ray: (..., H, W, 1)
+        pose_trans: (..., 3)  cam2world translation
+        pose_quats: (..., 4)  cam2world rotation, xyzw
+
+    Ref: geometry.py:855.
+    """
+    pose_quats = pose_quats / jnp.linalg.norm(pose_quats, axis=-1, keepdims=True)
+    rot = quaternion_to_rotation_matrix(pose_quats)  # (..., 3, 3)
+    pts3d_local = depth_along_ray * ray_directions  # (..., H, W, 3)
+    pts3d_world = (
+        jnp.einsum("...ij,...hwj->...hwi", rot, pts3d_local, precision="highest")
+        + pose_trans[..., None, None, :]
+    )
+    return pts3d_world
+
+
+def geotrf(trf: jnp.ndarray, pts: jnp.ndarray, ncol: int | None = None) -> jnp.ndarray:
+    """Apply a (..., d, d) or (..., d+1, d+1) transform to (..., *, d) points.
+
+    Simplified jnp version of geometry.py:964 covering the homogeneous and
+    linear cases with broadcasting over leading dims.
+    """
+    d = pts.shape[-1]
+    ncol = ncol or d
+    if trf.shape[-1] == d:
+        out = jnp.einsum("...ij,...j->...i", _expand(trf, pts, precision="highest"), pts)
+    elif trf.shape[-1] == d + 1:
+        lin = _expand(trf[..., :d, :d], pts)
+        t = _expand(trf[..., :d, d], pts, mat=False)
+        out = jnp.einsum("...ij,...j->...i", lin, pts, precision="highest") + t
+    else:
+        raise ValueError(f"bad transform shape {trf.shape} for points {pts.shape}")
+    return out[..., :ncol]
+
+
+def _expand(trf: jnp.ndarray, pts: jnp.ndarray, mat: bool = True) -> jnp.ndarray:
+    """Insert singleton dims so trf broadcasts against the point dims of pts."""
+    trailing = 2 if mat else 1
+    n_extra = (pts.ndim - 1) - (trf.ndim - trailing)
+    if n_extra <= 0:
+        return trf
+    shape = trf.shape[: trf.ndim - trailing] + (1,) * n_extra + trf.shape[trf.ndim - trailing:]
+    return trf.reshape(shape)
+
+
+def inv(mat: jnp.ndarray) -> jnp.ndarray:
+    """Matrix inverse. Ref: geometry.py:1040."""
+    return jnp.linalg.inv(mat)
+
+
+def closed_form_pose_inverse(
+    pose_matrices: jnp.ndarray,
+    rotation_matrices: jnp.ndarray | None = None,
+    translation_vectors: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Closed-form inverse of SE3 matrices (..., 4, 4): [R^T, -R^T t].
+
+    Ref: geometry.py:1051.
+    """
+    if rotation_matrices is None:
+        rotation_matrices = pose_matrices[..., :3, :3]
+    if translation_vectors is None:
+        translation_vectors = pose_matrices[..., :3, 3:]
+    rot_t = jnp.swapaxes(rotation_matrices, -1, -2)
+    new_t = -jnp.matmul(rot_t, translation_vectors, precision="highest")
+    top = jnp.concatenate([rot_t, new_t], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=pose_matrices.dtype),
+        pose_matrices.shape[:-2] + (1, 4),
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def angle_diff_vec3(v1: jnp.ndarray, v2: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Angle between 3D vectors (..., 3) in radians. Ref: geometry.py:1692."""
+    cross_norm = jnp.linalg.norm(jnp.cross(v1, v2), axis=-1) + eps
+    dot = jnp.sum(v1 * v2, axis=-1)
+    return jnp.arctan2(cross_norm, dot)

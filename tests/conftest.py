@@ -1,0 +1,51 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX import.
+
+Multi-chip sharding paths are validated on virtual CPU devices
+(xla_force_host_platform_device_count) since only one real TPU chip is
+attached in CI. Real-chip benchmarking happens via bench.py, not tests.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+
+import pathlib  # noqa: E402
+import sys  # noqa: E402
+
+import pytest  # noqa: E402
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_ROOT = pathlib.Path("/root/reference")
+
+
+@pytest.fixture(scope="session")
+def ref_geometry():
+    """The PyTorch reference geometry module, loaded for golden-parity tests.
+
+    Used as an oracle only (we call it and compare outputs); no code is copied.
+    """
+    if not REFERENCE_ROOT.exists():
+        pytest.skip("reference repo not mounted")
+    sys.path.insert(0, str(REFERENCE_ROOT))
+    import importlib
+
+    mod = importlib.import_module("mapanything.utils.geometry")
+    return mod
+
+
+@pytest.fixture(scope="session")
+def rng():
+    import numpy as np
+
+    return np.random.default_rng(0)

@@ -1,0 +1,262 @@
+"""Golden-parity tests: mapanything_tpu.geometry vs the PyTorch reference.
+
+Each test generates random inputs, runs both implementations, and compares to
+tight fp32 tolerances (SURVEY.md §7.1: 1e-6-ish for pure math; slightly looser
+where reduction order differs)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from mapanything_tpu import geometry as G
+
+ATOL = 1e-5
+RTOL = 1e-5
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x))
+
+
+def allclose(a, b, atol=ATOL, rtol=RTOL):
+    a = np.asarray(a)
+    b = np.asarray(b.detach().numpy() if torch.is_tensor(b) else b)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol)
+
+
+def random_quats(rng, shape=()):
+    q = rng.normal(size=shape + (4,)).astype(np.float32)
+    return q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+
+class TestQuats:
+    def test_quaternion_to_rotation_matrix(self, ref_geometry, rng):
+        q = random_quats(rng, (7,))
+        ours = G.quaternion_to_rotation_matrix(jnp.asarray(q))
+        ref = ref_geometry.quaternion_to_rotation_matrix(t(q))
+        allclose(ours, ref)
+
+    def test_rotation_matrix_to_quaternion_roundtrip(self, ref_geometry, rng):
+        q = random_quats(rng, (16,))
+        r = G.quaternion_to_rotation_matrix(jnp.asarray(q))
+        ours = G.rotation_matrix_to_quaternion(r)
+        ref = ref_geometry.rotation_matrix_to_quaternion(t(np.asarray(r)))
+        allclose(ours, ref, atol=1e-4)
+        # roundtrip up to sign standardization
+        q_std = np.where(q[..., 3:4] < 0, -q, q)
+        allclose(ours, q_std, atol=1e-4)
+
+    def test_quaternion_inverse_multiply(self, ref_geometry, rng):
+        q1 = random_quats(rng, (5,))
+        q2 = random_quats(rng, (5,))
+        allclose(G.quaternion_inverse(jnp.asarray(q1)), ref_geometry.quaternion_inverse(t(q1)))
+        allclose(
+            G.quaternion_multiply(jnp.asarray(q1), jnp.asarray(q2)),
+            ref_geometry.quaternion_multiply(t(q1), t(q2)),
+        )
+
+    def test_transform_pose_2_to_1(self, ref_geometry, rng):
+        q1, q2 = random_quats(rng, (6,)), random_quats(rng, (6,))
+        t1 = rng.normal(size=(6, 3)).astype(np.float32)
+        t2 = rng.normal(size=(6, 3)).astype(np.float32)
+        ours_q, ours_t = G.transform_pose_using_quats_and_trans_2_to_1(
+            jnp.asarray(q1), jnp.asarray(t1), jnp.asarray(q2), jnp.asarray(t2)
+        )
+        ref_q, ref_t = ref_geometry.transform_pose_using_quats_and_trans_2_to_1(
+            t(q1), t(t1), t(q2), t(t2)
+        )
+        allclose(ours_q, ref_q)
+        allclose(ours_t, ref_t, atol=1e-4)
+
+
+class TestRays:
+    def test_depthmap_to_camera_frame(self, ref_geometry, rng):
+        depth = rng.uniform(0.1, 10, size=(2, 14, 21)).astype(np.float32)
+        K = np.array([[[100.0, 0, 10], [0, 100, 7], [0, 0, 1]]] * 2, dtype=np.float32)
+        ours, mask = G.depthmap_to_camera_frame(jnp.asarray(depth), jnp.asarray(K))
+        ref, ref_mask = ref_geometry.depthmap_to_camera_frame(t(depth), t(K))
+        allclose(ours, ref)
+        assert np.array_equal(np.asarray(mask), ref_mask.numpy())
+
+    def test_depthmap_to_world_frame(self, ref_geometry, rng):
+        depth = rng.uniform(0.1, 10, size=(2, 10, 12)).astype(np.float32)
+        K = np.array([[[80.0, 0, 6], [0, 90, 5], [0, 0, 1]]] * 2, dtype=np.float32)
+        pose = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        q = random_quats(rng, (2,))
+        pose[:, :3, :3] = np.asarray(G.quaternion_to_rotation_matrix(jnp.asarray(q)))
+        pose[:, :3, 3] = rng.normal(size=(2, 3))
+        ours, _ = G.depthmap_to_world_frame(jnp.asarray(depth), jnp.asarray(K), jnp.asarray(pose))
+        ref, _ = ref_geometry.depthmap_to_world_frame(t(depth), t(K), t(pose))
+        allclose(ours, ref, atol=1e-4)
+
+    def test_get_rays_in_camera_frame(self, ref_geometry):
+        K = np.array([[[100.0, 0, 32], [0, 110, 24], [0, 0, 1]]], dtype=np.float32)
+        for unit in (True, False):
+            _, ours = G.get_rays_in_camera_frame(jnp.asarray(K), 48, 64, unit)
+            _, ref = ref_geometry.get_rays_in_camera_frame(t(K), 48, 64, unit)
+            allclose(ours, ref)
+
+    def test_transform_rays(self, ref_geometry, rng):
+        origins = rng.normal(size=(2, 8, 9, 3)).astype(np.float32)
+        dirs = rng.normal(size=(2, 8, 9, 3)).astype(np.float32)
+        pose = np.tile(np.eye(4, dtype=np.float32), (2, 1, 1))
+        pose[:, :3, 3] = rng.normal(size=(2, 3))
+        ours_o, ours_d = G.transform_rays(jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(pose))
+        ref_o, ref_d = ref_geometry.transform_rays(t(origins), t(dirs), t(pose))
+        allclose(ours_o, ref_o)
+        allclose(ours_d, ref_d)
+
+    def test_convert_z_depth_to_depth_along_ray(self, ref_geometry, rng):
+        depth = rng.uniform(0.1, 5, size=(3, 12, 10)).astype(np.float32)
+        K = np.array([[[60.0, 0, 5], [0, 60, 6], [0, 0, 1]]] * 3, dtype=np.float32)
+        ours = G.convert_z_depth_to_depth_along_ray(jnp.asarray(depth), jnp.asarray(K))
+        ref = ref_geometry.convert_z_depth_to_depth_along_ray(t(depth), t(K))
+        allclose(ours, ref)
+
+    def test_recover_pinhole_intrinsics(self, ref_geometry):
+        K = np.array(
+            [
+                [[200.0, 0, 64], [0, 180, 48], [0, 0, 1]],
+                [[150.0, 0, 60], [0, 150, 50], [0, 0, 1]],
+            ],
+            dtype=np.float32,
+        )
+        _, dirs = G.get_rays_in_camera_frame(jnp.asarray(K), 96, 128, True)
+        ours = G.recover_pinhole_intrinsics_from_ray_directions(dirs)
+        ref = ref_geometry.recover_pinhole_intrinsics_from_ray_directions(
+            t(np.asarray(dirs))
+        )
+        allclose(ours, ref, atol=1e-2, rtol=1e-4)
+        allclose(ours, K, atol=0.05, rtol=1e-3)
+
+
+class TestPointmaps:
+    def test_factored_recombination(self, ref_geometry, rng):
+        dirs = rng.normal(size=(4, 6, 7, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        depth = rng.uniform(0.1, 4, size=(4, 6, 7, 1)).astype(np.float32)
+        trans = rng.normal(size=(4, 3)).astype(np.float32)
+        quats = random_quats(rng, (4,))
+        ours = G.convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+            jnp.asarray(dirs), jnp.asarray(depth), jnp.asarray(trans), jnp.asarray(quats)
+        )
+        ref = ref_geometry.convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+            t(dirs), t(depth), t(trans), t(quats)
+        )
+        allclose(ours, ref, atol=1e-4)
+
+    def test_closed_form_pose_inverse(self, ref_geometry, rng):
+        pose = np.tile(np.eye(4, dtype=np.float32), (5, 1, 1))
+        q = random_quats(rng, (5,))
+        pose[:, :3, :3] = np.asarray(G.quaternion_to_rotation_matrix(jnp.asarray(q)))
+        pose[:, :3, 3] = rng.normal(size=(5, 3))
+        ours = G.closed_form_pose_inverse(jnp.asarray(pose))
+        ref = ref_geometry.closed_form_pose_inverse(t(pose))
+        allclose(ours, ref, atol=1e-5)
+
+    def test_geotrf(self, ref_geometry, rng):
+        trf = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        trf[:, :3, 3] = rng.normal(size=(3, 3))
+        pts = rng.normal(size=(3, 5, 6, 3)).astype(np.float32)
+        ours = G.geotrf(jnp.asarray(trf), jnp.asarray(pts))
+        ref = ref_geometry.geotrf(t(trf), t(pts))
+        allclose(ours, ref, atol=1e-5)
+
+
+class TestNorm:
+    def test_normalize_depth(self, ref_geometry, rng):
+        depth = rng.uniform(0, 5, size=(3, 8, 9, 1)).astype(np.float32)
+        depth[depth < 1] = 0
+        ours, ours_f = G.normalize_depth_using_non_zero_pixels(
+            jnp.asarray(depth), return_norm_factor=True
+        )
+        ref, ref_f = ref_geometry.normalize_depth_using_non_zero_pixels(
+            t(depth), return_norm_factor=True
+        )
+        allclose(ours, ref, atol=1e-4)
+        allclose(ours_f, ref_f, atol=1e-4)
+
+    def test_normalize_pose_translations(self, ref_geometry, rng):
+        trans = rng.normal(size=(4, 6, 3)).astype(np.float32)
+        trans[0, 0] = 0
+        ours, ours_f = G.normalize_pose_translations(jnp.asarray(trans), return_norm_factor=True)
+        ref, ref_f = ref_geometry.normalize_pose_translations(t(trans), return_norm_factor=True)
+        allclose(ours, ref, atol=1e-4)
+        allclose(ours_f, ref_f, atol=1e-4)
+
+    def test_normalize_multiple_pointclouds(self, ref_geometry, rng):
+        pts = rng.normal(size=(2, 3, 8, 9, 3)).astype(np.float32)
+        masks = rng.uniform(size=(2, 3, 8, 9)) > 0.3
+        ours, ours_f = G.normalize_multiple_pointclouds(
+            jnp.asarray(pts), jnp.asarray(masks), "avg_dis", ret_factor=True
+        )
+        pts_list = [t(pts[:, i]) for i in range(3)]
+        mask_list = [t(masks[:, i]) for i in range(3)]
+        ref = ref_geometry.normalize_multiple_pointclouds(
+            pts_list, mask_list, "avg_dis", ret_factor=True
+        )
+        ref_pts, ref_f = ref[:-1], ref[-1]
+        for i in range(3):
+            allclose(np.asarray(ours)[:, i], ref_pts[i], atol=1e-4)
+        allclose(np.asarray(ours_f)[:, 0], ref_f, atol=1e-4)
+
+    def test_apply_log_to_norm(self, ref_geometry, rng):
+        x = rng.normal(size=(2, 5, 5, 1)).astype(np.float32)
+        # XLA vs torch log1p differ by ~1e-4 in fp32
+        allclose(
+            G.apply_log_to_norm(jnp.asarray(x)),
+            ref_geometry.apply_log_to_norm(t(x)),
+            atol=5e-4,
+            rtol=1e-3,
+        )
+
+
+class TestEdges:
+    def test_depth_edge(self, ref_geometry, rng):
+        depth = rng.uniform(0.5, 5, size=(12, 15)).astype(np.float32)
+        depth[4:8, 4:8] *= 3  # inject a discontinuity
+        mask = rng.uniform(size=(12, 15)) > 0.2
+        ours = G.depth_edge(jnp.asarray(depth), rtol=0.03, mask=jnp.asarray(mask))
+        ref = ref_geometry.depth_edge(depth, rtol=0.03, mask=mask)
+        # interior must match exactly; border handling may differ by padding mode
+        assert np.array_equal(np.asarray(ours)[1:-1, 1:-1], ref[1:-1, 1:-1])
+
+    def test_points_to_normals(self, ref_geometry, rng):
+        depth = rng.uniform(1, 3, size=(16, 20)).astype(np.float32)
+        K = np.array([[50.0, 0, 10], [0, 50, 8], [0, 0, 1]], dtype=np.float32)
+        pts, _ = G.depthmap_to_camera_frame(jnp.asarray(depth), jnp.asarray(K))
+        pts_np = np.asarray(pts)
+        mask = np.ones((16, 20), dtype=bool)
+        mask[3:5, 3:5] = False
+        ours_n, ours_m = G.points_to_normals(pts, jnp.asarray(mask))
+        ref_n, ref_m = ref_geometry.points_to_normals(pts_np, mask=mask)
+        np.testing.assert_allclose(np.asarray(ours_n), ref_n, atol=1e-4)
+        assert np.array_equal(np.asarray(ours_m), ref_m)
+
+    def test_normals_edge(self, ref_geometry, rng):
+        n = rng.normal(size=(10, 11, 3)).astype(np.float32)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        ours = G.normals_edge(jnp.asarray(n), tol=5.0)
+        ref = ref_geometry.normals_edge(n, tol=5.0)
+        inner = (slice(1, -1), slice(1, -1))
+        assert np.array_equal(np.asarray(ours)[inner], ref[inner])
+
+
+class TestJit:
+    def test_core_functions_jit(self, rng):
+        import jax
+
+        q = jnp.asarray(random_quats(rng, (4,)))
+        jax.jit(G.quaternion_to_rotation_matrix)(q)
+        dirs = jnp.asarray(rng.normal(size=(2, 6, 7, 3)).astype(np.float32))
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        depth = jnp.asarray(rng.uniform(0.5, 2, size=(2, 6, 7, 1)).astype(np.float32))
+        trans = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+        quats = jnp.asarray(random_quats(rng, (2,)))
+        out = jax.jit(
+            G.convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap
+        )(dirs, depth, trans, quats)
+        assert out.shape == (2, 6, 7, 3)
+        jax.jit(lambda d: G.depth_edge(d, rtol=0.03))(depth[..., 0])
