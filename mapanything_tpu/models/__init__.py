@@ -1,0 +1,39 @@
+"""Model registry + factory (the reference's models/__init__.py:41-191)."""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from .mapanything import (
+    GeometricInputConfig,
+    MapAnything,
+    MapAnythingConfig,
+    aug_training_config,
+    images_only_config,
+)
+
+MODEL_CONFIGS: Dict[str, Any] = {
+    "mapanything": MapAnythingConfig,
+}
+
+
+def model_factory(model_str: str = "mapanything", **overrides) -> MapAnything:
+    """Build a model by name with config overrides (reference
+    models/__init__.py:128)."""
+    if model_str not in MODEL_CONFIGS:
+        raise ValueError(
+            f"unknown model {model_str!r}; available: {sorted(MODEL_CONFIGS)}"
+        )
+    cfg = MODEL_CONFIGS[model_str](**overrides)
+    return MapAnything(cfg=cfg)
+
+
+__all__ = [
+    "GeometricInputConfig",
+    "MapAnything",
+    "MapAnythingConfig",
+    "MODEL_CONFIGS",
+    "aug_training_config",
+    "images_only_config",
+    "model_factory",
+]

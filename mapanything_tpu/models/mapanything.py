@@ -1,0 +1,479 @@
+"""MapAnything model assembly (TPU-native).
+
+Rebuild of the reference MapAnything class (mapanything/models/mapanything/
+model.py:87-2112) with a TPU-first dataflow:
+
+  * Views are a leading tensor axis — every view-dict list of the reference
+    becomes one (B, V, ...) array; the jitted graph has fully static shapes.
+  * The reference's data-dependent boolean indexing over provided/dropped
+    priors (model.py:647-1243) becomes mask multiplication, which is exactly
+    what it reduces to (features are zeroed where masks are False).
+  * Stochastic training-time input dropout (model.py:1155-1201) threads an
+    explicit PRNG key; inference fixes probabilities to 0/1 so all mask
+    branches resolve at trace time.
+  * The adaptive free-memory minibatching of the dense head
+    (model.py:1263-1300, CUDA mem_get_info) is replaced by a static
+    `dense_head_chunk` processed with nn.scan — same HBM relief, no
+    data-dependent control flow.
+  * bf16 compute with fp32 islands: prior fusion, heads, adaptors and the
+    factored-geometry recombination run fp32, mirroring the reference's
+    autocast-off regions (model.py:1516,1599).
+
+Input views pytree (all optional fields may be absent):
+  img                (B, V, H, W, 3)  normalized images (NHWC!)
+  ray_directions_cam (B, V, H, W, 3)  unit-sphere ray dirs
+  depth_along_ray    (B, V, H, W, 1)
+  camera_pose_quats  (B, V, 4)        cam2world xyzw (identity if absent)
+  camera_pose_trans  (B, V, 3)
+  is_metric_scale    (B, V) bool
+  ray_dirs_valid / depth_valid / pose_valid  (B, V) bool — per-sample
+      provided-ness masks (default: all True when the field is present)
+
+Output dict (all (B, V, ...)):
+  pts3d, pts3d_cam, ray_directions, depth_along_ray, cam_trans, cam_quats,
+  metric_scaling_factor (B,), conf, non_ambiguous_mask,
+  non_ambiguous_mask_logits
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..geometry import (
+    apply_log_to_norm,
+    convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap,
+    normalize_depth_using_non_zero_pixels,
+    normalize_pose_translations,
+    transform_pose_using_quats_and_trans_2_to_1,
+)
+from ..nn.adaptors import (
+    dense_adaptor_raydirs_depth_conf_mask,
+    pose_adaptor,
+    scale_adaptor,
+)
+from ..nn.dinov2 import DinoViT
+from ..nn.dpt import DPTFeature, DPTRegressionProcessor
+from ..nn.encoders import DenseRepEncoder, GlobalRepEncoder
+from ..nn.heads import MLPHead, PoseHead
+from ..nn.trunk import AlternatingAttentionTrunk
+
+
+@dataclasses.dataclass(frozen=True)
+class GeometricInputConfig:
+    """Input-modality probabilities (configs/model/task/*.yaml knobs).
+
+    At inference these are forced to exact 0.0/1.0 (model.py:1911-1954), which
+    this implementation exploits: probability 0/1 branches need no RNG and
+    fold to constants at trace time.
+    """
+
+    overall_prob: float = 1.0
+    dropout_prob: float = 0.0
+    ray_dirs_prob: float = 1.0
+    depth_prob: float = 1.0
+    cam_prob: float = 1.0
+    sparse_depth_prob: float = 0.0
+    sparsification_removal_percent: float = 0.99
+    depth_scale_norm_all_prob: float = 0.0
+    pose_scale_norm_all_prob: float = 0.0
+
+    def deterministic(self) -> bool:
+        probs = (
+            self.overall_prob, self.dropout_prob, self.ray_dirs_prob,
+            self.depth_prob, self.cam_prob, self.sparse_depth_prob,
+            self.depth_scale_norm_all_prob, self.pose_scale_norm_all_prob,
+        )
+        return all(p in (0.0, 1.0) for p in probs)
+
+
+def images_only_config() -> GeometricInputConfig:
+    """configs/model/task/images_only.yaml equivalent."""
+    return GeometricInputConfig(
+        overall_prob=0.0, dropout_prob=1.0, ray_dirs_prob=0.0, depth_prob=0.0,
+        cam_prob=0.0, sparse_depth_prob=0.0, depth_scale_norm_all_prob=0.0,
+        pose_scale_norm_all_prob=0.0,
+    )
+
+
+def aug_training_config() -> GeometricInputConfig:
+    """configs/model/task/aug_training.yaml-style stochastic training mix."""
+    return GeometricInputConfig(
+        overall_prob=0.9, dropout_prob=0.1, ray_dirs_prob=0.8, depth_prob=0.5,
+        cam_prob=0.5, sparse_depth_prob=0.5,
+        sparsification_removal_percent=0.99,
+        depth_scale_norm_all_prob=0.3, pose_scale_norm_all_prob=0.3,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class MapAnythingConfig:
+    """Released default architecture (configs/model/mapanything.yaml):
+    DINOv2-L/14 + 24-layer alternating-attention IFR trunk (dim 1024, taps
+    [11, 17]) + DPT(256) raydirs/depth/conf/mask + pose head + scale MLP."""
+
+    encoder_size: str = "large"
+    patch_size: int = 14
+    data_norm_type: str = "dinov2"
+    encoder_gradient_checkpointing: bool = False
+
+    trunk_dim: int = 1024
+    trunk_depth: int = 24
+    trunk_num_heads: int = 16
+    trunk_indices: tuple = (11, 17)
+    distinguish_ref_and_non_ref_views: bool = True
+    use_view_pe: bool = False
+    trunk_gradient_checkpointing: bool = False
+
+    dpt_feature_dim: int = 256
+    dense_output_dim: int = 6  # raydirs 3 + depth 1 + conf 1 + mask 1
+    pose_num_resconv: int = 2
+
+    # Static replacement for adaptive minibatching: dense-head token maps are
+    # processed in chunks of this many views at a time when memory_efficient.
+    dense_head_chunk: int = 8
+
+    # Compute dtype for the encoder/trunk hot path.
+    dtype: Any = jnp.bfloat16
+
+
+class _DenseHead(nn.Module):
+    """DPT feature + regression tail, fused for scan-chunking."""
+
+    cfg: MapAnythingConfig
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, hooks, out_hw):
+        feat = DPTFeature(
+            input_feature_dims=(1024, self.cfg.trunk_dim, self.cfg.trunk_dim,
+                                self.cfg.trunk_dim),
+            feature_dim=self.cfg.dpt_feature_dim,
+            dtype=jnp.float32,  # heads run fp32 (autocast-off island)
+            param_dtype=self.param_dtype,
+            name="dpt_feature",
+        )(hooks)
+        out = DPTRegressionProcessor(
+            input_feature_dim=self.cfg.dpt_feature_dim,
+            output_dim=self.cfg.dense_output_dim,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="dpt_regressor",
+        )(feat, out_hw)
+        return out
+
+
+class MapAnything(nn.Module):
+    """The flagship multi-view metric 3D reconstruction model."""
+
+    cfg: MapAnythingConfig = MapAnythingConfig()
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        views: Dict[str, jnp.ndarray],
+        geom_cfg: GeometricInputConfig = images_only_config(),
+        rng: Optional[jax.Array] = None,
+        memory_efficient: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        imgs = views["img"]
+        b, v, h, w, _ = imgs.shape
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
+
+        if not geom_cfg.deterministic() and rng is None:
+            raise ValueError(
+                "stochastic GeometricInputConfig requires an rng key"
+            )
+
+        # ------------------------------------------------------------------
+        # 1. Image encoder over all views at once (model.py:622-645).
+        # ------------------------------------------------------------------
+        encoder = DinoViT(
+            size=cfg.encoder_size,
+            patch_size=cfg.patch_size,
+            dtype=cfg.dtype,
+            param_dtype=self.param_dtype,
+            remat=cfg.encoder_gradient_checkpointing,
+            name="encoder",
+        )
+        enc_feats = encoder(imgs.reshape(b * v, h, w, 3))
+        enc_dim = encoder.embed_dim
+        enc_feats = enc_feats.reshape(b, v, gh, gw, enc_dim)
+
+        # ------------------------------------------------------------------
+        # 2. Optional geometric priors, fused in fp32 (model.py:1133-1254).
+        # ------------------------------------------------------------------
+        fused = enc_feats.astype(jnp.float32)
+        fused = self._fuse_geometric_priors(fused, views, geom_cfg, rng,
+                                            enc_dim, b, v, h, w)
+        fused = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="fusion_norm",
+        )(fused)
+
+        # ------------------------------------------------------------------
+        # 3. Trunk with scale token (model.py:1523-1542).
+        # ------------------------------------------------------------------
+        scale_token = self.param(
+            "scale_token", nn.initializers.truncated_normal(0.02),
+            (enc_dim,), self.param_dtype,
+        )
+        tok = jnp.broadcast_to(scale_token[None, None, :], (b, 1, enc_dim))
+
+        trunk = AlternatingAttentionTrunk(
+            input_embed_dim=enc_dim,
+            dim=cfg.trunk_dim,
+            depth=cfg.trunk_depth,
+            num_heads=cfg.trunk_num_heads,
+            indices=tuple(cfg.trunk_indices),
+            distinguish_ref_and_non_ref_views=cfg.distinguish_ref_and_non_ref_views,
+            use_view_pe=cfg.use_view_pe,
+            dtype=cfg.dtype,
+            param_dtype=self.param_dtype,
+            remat=cfg.trunk_gradient_checkpointing,
+            name="info_sharing",
+        )
+        final, intermediates, scale_tok_out = trunk(fused.astype(cfg.dtype), tok)
+
+        # ------------------------------------------------------------------
+        # 4. Heads in fp32 (model.py:1599-1617). DPT hooks: [encoder, IFR
+        #    taps..., final] (model.py:1549-1597, use_encoder_features=True
+        #    for 2 IFR indices).
+        # ------------------------------------------------------------------
+        hooks = [enc_feats] + intermediates + [final]
+        hooks = [x.reshape(b * v, gh, gw, x.shape[-1]).astype(jnp.float32)
+                 for x in hooks]
+
+        dense_head = _DenseHead(cfg, param_dtype=self.param_dtype,
+                                name="dense_head")
+        n = b * v
+        chunk = cfg.dense_head_chunk
+        if memory_efficient and n > chunk and n % chunk == 0:
+            # Static chunking via nn.scan over the SAME dense-head module
+            # (params broadcast, not scanned): sequential HBM use — the
+            # TPU-native replacement for the adaptive free-memory
+            # minibatching at model.py:1355-1438.
+            num_chunks = n // chunk
+            hooks_chunked = tuple(
+                x.reshape(num_chunks, chunk, *x.shape[1:]) for x in hooks
+            )
+
+            def _body(mdl, carry, xs):
+                return carry, mdl(list(xs), (h, w))
+
+            scan_head = nn.scan(
+                _body,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )
+            _, raw_dense = scan_head(dense_head, None, hooks_chunked)
+            raw_dense = raw_dense.reshape(n, h, w, cfg.dense_output_dim)
+        else:
+            raw_dense = dense_head(hooks, (h, w))
+
+        pose_head = PoseHead(
+            input_feature_dim=cfg.trunk_dim,
+            num_resconv_block=cfg.pose_num_resconv,
+            dtype=jnp.float32,
+            param_dtype=self.param_dtype,
+            name="pose_head",
+        )
+        raw_pose = pose_head(hooks[-1])  # (B*V, 7)
+
+        scale_head = MLPHead(
+            input_feature_dim=cfg.trunk_dim, output_dim=1, dtype=jnp.float32,
+            param_dtype=self.param_dtype, name="scale_head",
+        )
+        raw_scale = scale_head(scale_tok_out[:, 0, :].astype(jnp.float32))
+
+        # ------------------------------------------------------------------
+        # 5. Adaptors + factored recombination (model.py:1683-1907).
+        # ------------------------------------------------------------------
+        dense = dense_adaptor_raydirs_depth_conf_mask(
+            raw_dense.reshape(b, v, h, w, cfg.dense_output_dim)
+        )
+        pose = pose_adaptor(raw_pose.reshape(b, v, 7))
+        metric_scale = scale_adaptor(raw_scale)[:, 0]  # (B,)
+
+        ray_dirs = dense["ray_directions"]
+        depth_along_ray = dense["depth_along_ray"]
+        pts3d_cam = ray_dirs * depth_along_ray
+        pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+            ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
+        )
+
+        s = metric_scale[:, None, None, None, None]
+        s_vec = metric_scale[:, None, None]
+        return {
+            "pts3d": pts3d * s,
+            "pts3d_cam": pts3d_cam * s,
+            "ray_directions": ray_dirs,
+            "depth_along_ray": depth_along_ray * s,
+            "cam_trans": pose["trans"] * s_vec,
+            "cam_quats": pose["quats"],
+            "metric_scaling_factor": metric_scale,
+            "conf": dense["conf"][..., 0],
+            "non_ambiguous_mask": dense["mask"][..., 0] > 0.5,
+            "non_ambiguous_mask_logits": dense["logits"][..., 0],
+        }
+
+    # ----------------------------------------------------------------------
+    # Geometric-prior fusion
+    # ----------------------------------------------------------------------
+    def _fuse_geometric_priors(self, fused, views, geom_cfg, rng, enc_dim,
+                               b, v, h, w):
+        cfg = self.cfg
+
+        def bernoulli(key, p, shape):
+            """Trace-time constant for p in {0, 1}; jax.random otherwise."""
+            if p == 0.0:
+                return jnp.zeros(shape, dtype=bool)
+            if p == 1.0:
+                return jnp.ones(shape, dtype=bool)
+            return jax.random.uniform(key, shape) < p
+
+        keys = (
+            jax.random.split(rng, 8)
+            if rng is not None
+            else [None] * 8
+        )
+
+        # Masks mirror model.py:1155-1201: overall and per-modality masks are
+        # drawn per sample (shared across views); dropout per (sample, view).
+        overall = bernoulli(keys[0], geom_cfg.overall_prob, (b, 1))
+        keep = bernoulli(keys[1], 1.0 - geom_cfg.dropout_prob, (b, v))
+        per_sample = keep & overall
+
+        ray_mask = bernoulli(keys[2], geom_cfg.ray_dirs_prob, (b, 1)) & per_sample
+        depth_mask = bernoulli(keys[3], geom_cfg.depth_prob, (b, 1)) & per_sample
+        cam_mask = bernoulli(keys[4], geom_cfg.cam_prob, (b, 1)) & per_sample
+
+        # Provided-ness: static absence folds the whole branch away.
+        if "ray_directions_cam" not in views:
+            ray_mask = jnp.zeros((b, v), dtype=bool)
+        elif "ray_dirs_valid" in views:
+            ray_mask = ray_mask & views["ray_dirs_valid"]
+        if "depth_along_ray" not in views:
+            depth_mask = jnp.zeros((b, v), dtype=bool)
+        elif "depth_valid" in views:
+            depth_mask = depth_mask & views["depth_valid"]
+        has_pose = "camera_pose_quats" in views and "camera_pose_trans" in views
+        if not has_pose:
+            cam_mask = jnp.zeros((b, v), dtype=bool)
+        elif "pose_valid" in views:
+            cam_mask = cam_mask & views["pose_valid"]
+
+        is_metric = views.get("is_metric_scale",
+                              jnp.zeros((b, v), dtype=bool))
+
+        # --- ray directions (model.py:753-825) --------------------------
+        if "ray_directions_cam" in views:
+            rays = views["ray_directions_cam"].astype(jnp.float32)
+            rays = rays * ray_mask[..., None, None, None]
+            rays_feat = DenseRepEncoder(
+                enc_dim, cfg.patch_size, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name="ray_dirs_encoder",
+            )(rays.reshape(b * v, h, w, 3))
+            rays_feat = rays_feat.reshape(b, v, *rays_feat.shape[1:])
+            fused = fused + rays_feat * ray_mask[..., None, None, None]
+
+        # --- depth (model.py:827-1010) -----------------------------------
+        if "depth_along_ray" in views:
+            depth = views["depth_along_ray"].astype(jnp.float32)
+            depth = depth * depth_mask[..., None, None, None]
+
+            if geom_cfg.sparse_depth_prob > 0.0 and rng is not None:
+                # Sparse-depth augmentation: drop `removal_percent` of valid
+                # pixels. The reference removes an exact count via randperm
+                # (model.py:884-941); we use per-pixel Bernoulli — same
+                # expectation, static shapes.
+                k_use, k_px = jax.random.split(keys[5])
+                use_sparse = bernoulli(k_use, geom_cfg.sparse_depth_prob, ())
+                keep_px = (
+                    jax.random.uniform(k_px, depth.shape)
+                    >= geom_cfg.sparsification_removal_percent
+                )
+                sparse_depth = depth * keep_px
+                depth = jnp.where(use_sparse, sparse_depth, depth)
+
+            scaled_depth, depth_norm = normalize_depth_using_non_zero_pixels(
+                depth, return_norm_factor=True
+            )  # (B, V, H, W, 1), (B, V)
+            log_depth = apply_log_to_norm(scaled_depth)
+
+            depth_feat = DenseRepEncoder(
+                enc_dim, cfg.patch_size, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name="depth_encoder",
+            )(log_depth.reshape(b * v, h, w, 1))
+            depth_feat = depth_feat.reshape(b, v, *depth_feat.shape[1:])
+            fused = fused + depth_feat * depth_mask[..., None, None, None]
+
+            # Scale encoding only for metric-scale samples (model.py:955-1001)
+            metric_depth_mask = depth_mask & is_metric
+            norm_all = bernoulli(keys[6], geom_cfg.depth_scale_norm_all_prob,
+                                 (b, v))
+            metric_depth_mask = metric_depth_mask & ~norm_all
+            log_factor = jnp.log(depth_norm + 1e-8)[..., None]  # (B, V, 1)
+            scale_feat = GlobalRepEncoder(
+                enc_dim, dtype=jnp.float32, param_dtype=self.param_dtype,
+                name="depth_scale_encoder",
+            )(log_factor.reshape(b * v, 1)).reshape(b, v, enc_dim)
+            scale_feat = scale_feat * depth_mask[..., None]
+            scale_feat = scale_feat * metric_depth_mask[..., None]
+            fused = fused + scale_feat[:, :, None, None, :]
+
+        # --- camera poses (model.py:647-751, 1012-1131) -------------------
+        if has_pose:
+            quats = views["camera_pose_quats"].astype(jnp.float32)
+            trans = views["camera_pose_trans"].astype(jnp.float32)
+            # Relative to reference view 0 of the same sample.
+            q0 = jnp.broadcast_to(quats[:, :1], quats.shape)
+            t0 = jnp.broadcast_to(trans[:, :1], trans.shape)
+            rel_q, rel_t = transform_pose_using_quats_and_trans_2_to_1(
+                q0, t0, quats, trans
+            )
+            identity_q = jnp.asarray([0.0, 0.0, 0.0, 1.0])
+            rel_q = jnp.where(cam_mask[..., None], rel_q, identity_q)
+            rel_t = jnp.where(cam_mask[..., None], rel_t, 0.0)
+
+            quat_feat = GlobalRepEncoder(
+                enc_dim, dtype=jnp.float32, param_dtype=self.param_dtype,
+                name="cam_rot_encoder",
+            )(rel_q.reshape(b * v, 4)).reshape(b, v, enc_dim)
+            quat_feat = quat_feat * cam_mask[..., None]
+
+            scaled_t, t_norm = normalize_pose_translations(
+                rel_t, return_norm_factor=True
+            )  # (B, V, 3), (B,)
+            trans_feat = GlobalRepEncoder(
+                enc_dim, dtype=jnp.float32, param_dtype=self.param_dtype,
+                name="cam_trans_encoder",
+            )(scaled_t.reshape(b * v, 3)).reshape(b, v, enc_dim)
+            trans_feat = trans_feat * cam_mask[..., None]
+
+            norm_all_pose = bernoulli(
+                keys[7], geom_cfg.pose_scale_norm_all_prob, (b, v)
+            )
+            metric_pose_mask = is_metric & ~norm_all_pose
+            log_t_norm = jnp.log(t_norm + 1e-8)[:, None, None]  # (B, 1, 1)
+            log_t_norm = jnp.broadcast_to(log_t_norm, (b, v, 1))
+            t_scale_feat = GlobalRepEncoder(
+                enc_dim, dtype=jnp.float32, param_dtype=self.param_dtype,
+                name="cam_trans_scale_encoder",
+            )(log_t_norm.reshape(b * v, 1)).reshape(b, v, enc_dim)
+            t_scale_feat = t_scale_feat * cam_mask[..., None]
+            t_scale_feat = t_scale_feat * metric_pose_mask[..., None]
+
+            fused = fused + (quat_feat + trans_feat + t_scale_feat)[:, :, None, None, :]
+
+        return fused
+
+

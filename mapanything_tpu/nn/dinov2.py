@@ -1,0 +1,209 @@
+"""DINOv2 ViT encoder (flax.linen), weight-compatible with torch-hub DINOv2.
+
+Reimplements the encoder family that the reference obtains through UniCeption's
+encoder_factory("dinov2", size="large") — a torch-hub DinoVisionTransformer
+(spec vendored in the reference at
+mapanything/models/external/dinov2/models/vision_transformer.py:57; hub
+defaults at external/dinov2/hub/backbones.py:26: init_values=1.0,
+block_chunks=0, num_register_tokens=0, interpolate_antialias=False,
+interpolate_offset=0.1, patch 14, img_size 518).
+
+TPU-first details:
+  * Positional-embedding interpolation for arbitrary (bucketed) resolutions is
+    expressed as two static interpolation matrices (computed in numpy at trace
+    time with torch's exact bicubic formula: cubic convolution a=-0.75,
+    src = (dst + 0.5)/scale - 0.5, border clamp) applied as matmuls — no
+    gather/dynamic shapes, byte-matches torch F.interpolate(bicubic).
+  * Patch embedding is a 14x14/14 conv (MXU-friendly); inputs are NHWC.
+  * Blocks run in `dtype` (bf16 for serving) with fp32 LayerNorm reductions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import Block
+
+# torch-hub DINOv2 configuration table.
+DINOV2_CONFIGS = {
+    "small": dict(embed_dim=384, depth=12, num_heads=6),
+    "base": dict(embed_dim=768, depth=12, num_heads=12),
+    "large": dict(embed_dim=1024, depth=24, num_heads=16),
+    "giant": dict(embed_dim=1536, depth=40, num_heads=24),
+}
+
+# name -> (mean, std); matches UniCeption IMAGE_NORMALIZATION_DICT usage at
+# reference image.py:37 / base_dataset.py:29.
+IMAGE_NORMALIZATION_DICT = {
+    "dinov2": (np.array([0.485, 0.456, 0.406]), np.array([0.229, 0.224, 0.225])),
+    "croco": (np.array([0.5, 0.5, 0.5]), np.array([0.5, 0.5, 0.5])),
+    "radio": (np.array([0.0, 0.0, 0.0]), np.array([1.0, 1.0, 1.0])),
+    "identity": (np.array([0.0, 0.0, 0.0]), np.array([1.0, 1.0, 1.0])),
+}
+
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic convolution kernel (Keys), a=-0.75 — torch's bicubic."""
+    ax = np.abs(x)
+    w = np.zeros_like(ax)
+    m1 = ax <= 1
+    m2 = (ax > 1) & (ax < 2)
+    w[m1] = (a + 2) * ax[m1] ** 3 - (a + 3) * ax[m1] ** 2 + 1
+    w[m2] = a * ax[m2] ** 3 - 5 * a * ax[m2] ** 2 + 8 * a * ax[m2] - 4 * a
+    return w
+
+
+def torch_bicubic_resize_matrix(src: int, dst: int, scale: Optional[float] = None) -> np.ndarray:
+    """(dst, src) matrix M with (M @ x) == torch F.interpolate(x, bicubic,
+    align_corners=False) along one axis.
+
+    If `scale` is given, uses torch's scale_factor semantics
+    (src_coord = (dst_coord + 0.5)/scale - 0.5); otherwise scale = dst/src.
+    """
+    if scale is None:
+        scale = dst / src
+    mat = np.zeros((dst, src), dtype=np.float64)
+    for i in range(dst):
+        s = (i + 0.5) / scale - 0.5
+        s_floor = math.floor(s)
+        frac = s - s_floor
+        idx = np.array([s_floor - 1, s_floor, s_floor + 1, s_floor + 2])
+        w = _cubic_kernel(np.array([1 + frac, frac, 1 - frac, 2 - frac]))
+        idx = np.clip(idx, 0, src - 1)  # border replication, like torch
+        for j, ww in zip(idx, w):
+            mat[i, j] += ww
+    return mat.astype(np.float32)
+
+
+def interpolate_pos_embed(
+    patch_pos_embed: jnp.ndarray,
+    src_hw: tuple[int, int],
+    dst_hw: tuple[int, int],
+    interpolate_offset: float = 0.1,
+) -> jnp.ndarray:
+    """Bicubic-resample (src_h*src_w, C) patch pos-embeds to (dst_h*dst_w, C).
+
+    Matches DinoVisionTransformer.interpolate_pos_encoding (reference
+    external/dinov2/models/vision_transformer.py:208): scale factors include
+    the historical +0.1 offset kludge.
+    """
+    sh, sw = src_hw
+    dh, dw = dst_hw
+    if (sh, sw) == (dh, dw):
+        return patch_pos_embed
+    c = patch_pos_embed.shape[-1]
+    grid = patch_pos_embed.reshape(sh, sw, c).astype(jnp.float32)
+    # NOTE: torch input is (1, C, M, M) and scale_factor=(sx, sy) applies
+    # (sx -> dim -2 (rows, w0), sy -> dim -1 (cols, h0)) after the reference
+    # reshapes to (M, M) row-major — the reference computes
+    # sx from w0 and sy from h0 and then asserts (w0, h0) == out.shape[-2:],
+    # i.e. rows are w and cols are h there. We keep (h, w) layout and apply
+    # the same offset semantics per axis.
+    mh = torch_bicubic_resize_matrix(sh, dh, (dh + interpolate_offset) / sh)
+    mw = torch_bicubic_resize_matrix(sw, dw, (dw + interpolate_offset) / sw)
+    out = jnp.einsum("ij,jkc->ikc", jnp.asarray(mh), grid, precision="highest")
+    out = jnp.einsum("kj,ijc->ikc", jnp.asarray(mw), out, precision="highest")
+    return out.reshape(dh * dw, c)
+
+
+class DinoViT(nn.Module):
+    """DINOv2 vision transformer returning patch tokens.
+
+    Input: NHWC images, already normalized with the encoder's mean/std.
+    Output: (B, H/p, W/p, C) patch features (the reference encoder output is
+    (B, C, H/14, W/14); we keep channel-last for TPU layouts).
+    """
+
+    size: str = "large"
+    patch_size: int = 14
+    img_size: int = 518  # pretraining grid used to shape the stored pos_embed
+    num_register_tokens: int = 0
+    layerscale_init: Optional[float] = 1.0
+    interpolate_offset: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @property
+    def embed_dim(self) -> int:
+        return DINOV2_CONFIGS[self.size]["embed_dim"]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = DINOV2_CONFIGS[self.size]
+        dim = cfg["embed_dim"]
+        b, h, w, _ = x.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+
+        # Patch embedding: conv k=p s=p. Weight layout HWIO (flax native).
+        x = nn.Conv(
+            dim,
+            kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="patch_embed",
+        )(x.astype(self.dtype))
+        x = x.reshape(b, gh * gw, dim)
+
+        cls_token = self.param(
+            "cls_token", nn.initializers.normal(1e-6), (1, 1, dim), self.param_dtype
+        )
+        m = self.img_size // self.patch_size
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.truncated_normal(0.02),
+            (1 + m * m, dim),
+            self.param_dtype,
+        )
+        cls_pos = pos_embed[:1]
+        patch_pos = interpolate_pos_embed(
+            pos_embed[1:], (m, m), (gh, gw), self.interpolate_offset
+        )
+
+        x = x + patch_pos[None].astype(self.dtype)
+        cls = (cls_token + cls_pos[None]).astype(self.dtype)
+        cls = jnp.broadcast_to(cls, (b, 1, dim))
+
+        if self.num_register_tokens:
+            registers = self.param(
+                "register_tokens",
+                nn.initializers.normal(1e-6),
+                (1, self.num_register_tokens, dim),
+                self.param_dtype,
+            )
+            regs = jnp.broadcast_to(
+                registers.astype(self.dtype), (b, self.num_register_tokens, dim)
+            )
+            x = jnp.concatenate([cls, regs, x], axis=1)
+        else:
+            x = jnp.concatenate([cls, x], axis=1)
+
+        block_cls = Block
+        if self.remat:
+            block_cls = nn.remat(Block)
+        for i in range(cfg["depth"]):
+            x = block_cls(
+                dim,
+                cfg["num_heads"],
+                mlp_ratio=4.0,
+                qkv_bias=True,
+                layerscale_init=self.layerscale_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                attn_impl=self.attn_impl,
+                name=f"blocks_{i}",
+            )(x)
+
+        x = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        )(x)
+        patch_tokens = x[:, 1 + self.num_register_tokens :, :]
+        return patch_tokens.reshape(b, gh, gw, dim).astype(self.dtype)

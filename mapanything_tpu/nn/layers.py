@@ -1,0 +1,127 @@
+"""Shared transformer building blocks (flax.linen).
+
+Block structure mirrors the DINOv2/timm pre-norm ViT block that both the
+encoder and the multi-view trunk use (reference spec:
+mapanything/models/external/dinov2/layers/*): LN -> MHA -> LayerScale ->
+residual; LN -> MLP(GELU) -> LayerScale -> residual.
+
+Dtype policy (TPU): params live in fp32 (`param_dtype`), compute runs in
+`dtype` (bf16 for the hot path), LayerNorm and softmax always reduce in fp32 —
+this mirrors the reference's autocast behavior (model.py:1516,1599).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import sdpa
+
+
+class Mlp(nn.Module):
+    """Linear -> GELU -> Linear."""
+
+    hidden_dim: int
+    out_dim: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                     name="fc2")(x)
+        return x
+
+
+class LayerScale(nn.Module):
+    """Per-channel learned residual scaling (gamma), DINOv2-style."""
+
+    dim: int
+    init_value: float = 1.0
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.init_value),
+            (self.dim,),
+            self.param_dtype,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused QKV projection.
+
+    Weight layout matches the torch convention (single qkv Linear of width
+    3*dim) so checkpoint conversion is a reshape, not a re-derivation.
+    """
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, n, c = x.shape
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="qkv",
+        )(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        out = sdpa(q, k, v, impl=self.attn_impl)
+        out = out.reshape(b, n, self.dim)
+        return nn.Dense(
+            self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="proj",
+        )(out)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional LayerScale."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = None  # None => no LayerScale
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name=name
+        )
+        h = ln("norm1")(x).astype(self.dtype)
+        h = Attention(
+            self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl, name="attn",
+        )(h)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.dim, self.layerscale_init,
+                           param_dtype=self.param_dtype, name="ls1")(h)
+        x = x + h
+
+        h = ln("norm2")(x).astype(self.dtype)
+        h = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="mlp",
+        )(h)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.dim, self.layerscale_init,
+                           param_dtype=self.param_dtype, name="ls2")(h)
+        return x + h

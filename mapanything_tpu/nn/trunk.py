@@ -1,0 +1,202 @@
+"""Multi-view information-sharing transformers (the model trunk).
+
+TPU-native rebuild of the UniCeption MultiView*AttentionTransformer[IFR]
+family consumed by the reference at model.py:36-48,224-305 and configured by
+configs/model/info_sharing/*.yaml:
+
+  * alternating_attention (the released architecture, VGGT-style; concrete
+    in-repo spec: reference external/vggt/models/aggregator.py:27): `depth`
+    pre-norm transformer layers alternating between per-frame self-attention
+    (tokens of one view) and global self-attention (all views' tokens
+    concatenated + extra global tokens);
+  * global_attention: every layer is global (ablation);
+  * cross_attention: two-branch DUSt3R-style (ablation) — see CrossTrunk.
+
+Design notes (TPU-first):
+  * Views live on a leading axis: features (B, V, gh, gw, C). Frame attention
+    reshapes to (B*V, P, C) — a free reshape, batched MXU work. Global
+    attention reshapes to (B, V*P + T, C) and can run through the Pallas
+    flash kernel when V*P is large (attn_impl="flash").
+  * The scale token (T extra global tokens) participates in global layers and
+    passes through frame layers unchanged (it is a per-sample, not per-view,
+    token).
+  * `distinguish_ref_and_non_ref_views: True` adds a learned embedding to
+    view 0's tokens and a second one to all other views' tokens
+    (aat_ifr_24_layers.yaml:16).
+  * IFR ("intermediate feature returner") taps the outputs at `indices`
+    (default [11, 17]), each normalized by its own LayerNorm when
+    `norm_intermediate` (aat_ifr_24_layers.yaml:12-14).
+  * Depth counting: `depth: 24` = 24 total attention layers (12 frame + 12
+    global, frame first). NOTE (SURVEY.md §2.6): VGGT counts *pairs*; if HF
+    checkpoint keys show 24 pairs, set depth=48 at conversion time — the
+    layer loop is agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import Block
+
+
+class AlternatingAttentionTrunk(nn.Module):
+    """Alternating frame/global multi-view transformer with IFR taps."""
+
+    input_embed_dim: int = 1024
+    dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    distinguish_ref_and_non_ref_views: bool = True
+    indices: Sequence[int] = (11, 17)  # IFR tap layer indices
+    norm_intermediate: bool = True
+    use_view_pe: bool = False
+    max_views_for_pe: int = 1000
+    layerscale_init: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    frame_attn_impl: str = "xla"
+    global_attn_impl: str = "auto"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,  # (B, V, gh, gw, C_in)
+        extra_tokens: jnp.ndarray,  # (B, T, C_in) global tokens (scale token)
+        view_indices: jnp.ndarray | None = None,  # (B, V) int for view PE
+    ):
+        b, v, gh, gw, _ = features.shape
+        p = gh * gw
+        t = extra_tokens.shape[1]
+
+        x = features.reshape(b, v, p, self.input_embed_dim)
+        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj")
+        x = proj(x.astype(self.dtype))
+        tok = proj(extra_tokens.astype(self.dtype))  # (B, T, dim)
+
+        if self.distinguish_ref_and_non_ref_views:
+            view_embed = self.param(
+                "ref_nonref_embed",
+                nn.initializers.truncated_normal(0.02),
+                (2, self.dim),
+                self.param_dtype,
+            ).astype(self.dtype)
+            is_ref = (jnp.arange(v) == 0).astype(self.dtype)[None, :, None, None]
+            x = x + is_ref * view_embed[0] + (1.0 - is_ref) * view_embed[1]
+
+        if self.use_view_pe:
+            # Learned per-view-index embedding; non-ref indices are randomized
+            # up to max_views_for_pe at train time (caller provides
+            # view_indices; defaults to arange at inference) —
+            # aat_ifr_24_layers_w_view_pe.yaml:23-26.
+            pe_table = self.param(
+                "view_pe",
+                nn.initializers.truncated_normal(0.02),
+                (self.max_views_for_pe, self.dim),
+                self.param_dtype,
+            )
+            if view_indices is None:
+                view_indices = jnp.broadcast_to(jnp.arange(v)[None], (b, v))
+            x = x + pe_table[view_indices].astype(self.dtype)[:, :, None, :]
+
+        intermediates = []
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            is_global = i % 2 == 1
+            blk = block_cls(
+                self.dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                layerscale_init=self.layerscale_init,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                attn_impl=self.global_attn_impl if is_global else self.frame_attn_impl,
+                name=f"layers_{i}",
+            )
+            if is_global:
+                flat = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
+                flat = blk(flat)
+                x = flat[:, : v * p].reshape(b, v, p, self.dim)
+                tok = flat[:, v * p :]
+            else:
+                x = blk(x.reshape(b * v, p, self.dim)).reshape(b, v, p, self.dim)
+
+            if i in self.indices:
+                feat = x
+                if self.norm_intermediate:
+                    feat = nn.LayerNorm(
+                        epsilon=1e-6, dtype=jnp.float32,
+                        param_dtype=self.param_dtype,
+                        name=f"norm_intermediate_{i}",
+                    )(feat).astype(self.dtype)
+                intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
+
+        final_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        )
+        x = final_norm(x).astype(self.dtype)
+        tok = final_norm(tok).astype(self.dtype)
+        final = x.reshape(b, v, gh, gw, self.dim)
+        return final, intermediates, tok
+
+
+class GlobalAttentionTrunk(AlternatingAttentionTrunk):
+    """Every layer attends globally over all views (VGGT-global ablation,
+    reference MultiViewGlobalAttentionTransformer, model.py:41-44)."""
+
+    @nn.compact
+    def __call__(self, features, extra_tokens, view_indices=None):
+        b, v, gh, gw, _ = features.shape
+        p = gh * gw
+        x = features.reshape(b, v, p, self.input_embed_dim)
+        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj")
+        x = proj(x.astype(self.dtype))
+        tok = proj(extra_tokens.astype(self.dtype))
+
+        if self.distinguish_ref_and_non_ref_views:
+            view_embed = self.param(
+                "ref_nonref_embed",
+                nn.initializers.truncated_normal(0.02),
+                (2, self.dim),
+                self.param_dtype,
+            ).astype(self.dtype)
+            is_ref = (jnp.arange(v) == 0).astype(self.dtype)[None, :, None, None]
+            x = x + is_ref * view_embed[0] + (1.0 - is_ref) * view_embed[1]
+
+        intermediates = []
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            blk = block_cls(
+                self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias, layerscale_init=self.layerscale_init,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                attn_impl=self.global_attn_impl, name=f"layers_{i}",
+            )
+            flat = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
+            flat = blk(flat)
+            x = flat[:, : v * p].reshape(b, v, p, self.dim)
+            tok = flat[:, v * p :]
+            if i in self.indices:
+                feat = x
+                if self.norm_intermediate:
+                    feat = nn.LayerNorm(
+                        epsilon=1e-6, dtype=jnp.float32,
+                        param_dtype=self.param_dtype,
+                        name=f"norm_intermediate_{i}",
+                    )(feat).astype(self.dtype)
+                intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
+
+        final_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        )
+        x = final_norm(x).astype(self.dtype)
+        tok = final_norm(tok).astype(self.dtype)
+        return x.reshape(b, v, gh, gw, self.dim), intermediates, tok

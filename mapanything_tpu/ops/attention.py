@@ -1,0 +1,65 @@
+"""Scaled dot-product attention for TPU.
+
+Two interchangeable implementations behind one functional interface:
+
+  * "xla"   — einsum QK^T -> fp32 softmax -> einsum PV. XLA fuses this well for
+              moderate sequence lengths; materializes the (N, N) score matrix.
+  * "flash" — blockwise Pallas kernel (ops/flash_attention.py) that never
+              materializes the score matrix; required for 100+-view global
+              attention where N = V*P reaches 10^5-10^6 tokens.
+
+The reference trunk relies on torch F.scaled_dot_product_attention (CUDA
+flash kernels, never tiled for the multi-view axis); the flash path here is
+the TPU-native equivalent and the key scaling unlock (SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Multi-head scaled dot-product attention.
+
+    Args:
+        q, k, v: (B, N, H, D) — batch, tokens, heads, head dim.
+        impl: "auto" | "xla" | "flash".
+
+    Returns:
+        (B, N, H, D) attention output in q.dtype.
+    """
+    if impl == "auto":
+        # Heuristic: flash only pays off once the score matrix stops fitting
+        # comfortably in VMEM-friendly tiles.
+        impl = "flash" if q.shape[1] >= 8192 else "xla"
+    if impl == "xla":
+        return _sdpa_xla(q, k, v)
+    if impl == "flash":
+        from .flash_attention import flash_attention
+
+        return flash_attention(q, k, v)
+    raise ValueError(f"unknown attention impl: {impl}")
+
+
+def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    orig_dtype = q.dtype
+    scale = q.shape[-1] ** -0.5
+    # Scores accumulate in fp32 on the MXU; softmax stays fp32 (the reference
+    # model's autocast keeps softmax/layernorm in fp32 as well).
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(scores * scale, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bkhd->bqhd",
+        probs.astype(orig_dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)
