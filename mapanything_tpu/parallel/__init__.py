@@ -1,0 +1,17 @@
+"""Device mesh + sharding utilities (the distributed backend)."""
+
+from .mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "batch_sharding",
+    "make_mesh",
+    "param_sharding",
+    "shard_batch",
+    "shard_params",
+]

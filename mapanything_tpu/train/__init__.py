@@ -1,0 +1,45 @@
+"""Training stack: losses, optimizer, train step, checkpointing."""
+
+from .losses import (
+    FactoredGeometryConfig,
+    L1Loss,
+    L2Loss,
+    OverallLossConfig,
+    RobustRegressionLoss,
+    bce_with_logits,
+    conf_and_exclude_top_n_loss,
+    exclude_top_n_percent,
+    factored_geometry_scale_regr3d,
+    non_ambiguous_mask_loss,
+    overall_loss,
+)
+from .step import (
+    OptimConfig,
+    TrainState,
+    cosine_schedule,
+    create_train_state,
+    jit_train_step,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = [
+    "FactoredGeometryConfig",
+    "L1Loss",
+    "L2Loss",
+    "OptimConfig",
+    "OverallLossConfig",
+    "RobustRegressionLoss",
+    "TrainState",
+    "bce_with_logits",
+    "conf_and_exclude_top_n_loss",
+    "cosine_schedule",
+    "create_train_state",
+    "exclude_top_n_percent",
+    "factored_geometry_scale_regr3d",
+    "jit_train_step",
+    "make_optimizer",
+    "make_train_step",
+    "non_ambiguous_mask_loss",
+    "overall_loss",
+]

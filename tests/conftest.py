@@ -16,6 +16,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The baked axon sitecustomize overrides JAX_PLATFORMS via
+# jax.config.update("jax_platforms", "axon,cpu") — override it back BEFORE
+# any backend initialization, or tests silently run through the TPU tunnel.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
+
 jax.config.update("jax_enable_x64", False)
 
 import pathlib  # noqa: E402
