@@ -1,0 +1,101 @@
+"""Weight-conversion golden test: torch DINOv2 -> our DinoViT, output parity.
+
+This is the checkpoint-compatibility acceptance test (SURVEY.md §7.1 step 3):
+instantiate the reference's vendored DINOv2 (the exact torch-hub
+architecture) with random weights, convert the state_dict, and require our
+flax DinoViT to reproduce its patch tokens — including the bicubic
+pos-embed interpolation path (input != 518)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.nn.dinov2 import DinoViT
+from mapanything_tpu.utils.weights import (
+    conv_transpose,
+    convert_dinov2,
+    inspect_state_dict,
+    linear,
+)
+
+
+@pytest.fixture(scope="module")
+def torch_vit():
+    # stub parents whose __init__ needs missing deps (omegaconf)
+    for pkg, path in [
+        ("mapanything", "/root/reference/mapanything"),
+        ("mapanything.models", "/root/reference/mapanything/models"),
+        ("mapanything.models.external",
+         "/root/reference/mapanything/models/external"),
+    ]:
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = [path]
+            sys.modules[pkg] = m
+    from mapanything.models.external.dinov2.models.vision_transformer import (
+        vit_small,
+    )
+
+    m = vit_small(patch_size=14, init_values=1.0, img_size=518, block_chunks=0)
+    m.eval()
+    return m
+
+
+class TestDinov2Conversion:
+    @pytest.mark.parametrize("hw", [(56, 70), (84, 84)])
+    def test_patch_token_parity(self, torch_vit, hw):
+        h, w = hw
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((1, 3, h, w)).astype(np.float32) * 0.5
+
+        with torch.no_grad():
+            ref = torch_vit.forward_features(torch.from_numpy(x))[
+                "x_norm_patchtokens"
+            ].numpy()
+
+        params, used = convert_dinov2(torch_vit.state_dict())
+        # every torch tensor except mask_token must be consumed
+        assert used == len(torch_vit.state_dict()) - 1
+
+        model = DinoViT(size="small", patch_size=14, dtype=jnp.float32)
+        out = model.apply(
+            {"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))
+        )
+        out = np.asarray(out).reshape(ref.shape)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+    def test_layout_primitives(self):
+        w = torch.randn(8, 4)
+        b = torch.randn(8)
+        p = linear(w, b)
+        x = torch.randn(2, 4)
+        ref = (x @ w.T + b).numpy()
+        ours = np.asarray(x) @ p["kernel"] + p["bias"]
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+    def test_conv_transpose_layout(self):
+        import flax.linen as nn
+        import torch.nn as tnn
+
+        tconv = tnn.ConvTranspose2d(4, 6, kernel_size=2, stride=2)
+        tconv.eval()
+        x = torch.randn(1, 4, 5, 7)
+        with torch.no_grad():
+            ref = tconv(x).numpy().transpose(0, 2, 3, 1)
+
+        p = conv_transpose(tconv.weight, tconv.bias)
+        fconv = nn.ConvTranspose(6, (2, 2), strides=(2, 2), padding="VALID")
+        out = fconv.apply(
+            {"params": p}, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+        )
+        np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5)
+
+    def test_inspect_state_dict(self, torch_vit):
+        groups = inspect_state_dict(torch_vit.state_dict(), depth=1)
+        assert "blocks" in groups and "pos_embed" in groups
