@@ -43,3 +43,19 @@ __all__ = [
     "non_ambiguous_mask_loss",
     "overall_loss",
 ]
+
+from .checkpoints import (
+    load_params,
+    load_train_state,
+    save_params,
+    save_train_state,
+)
+from .loop import (
+    MetricLogger,
+    SmoothedValue,
+    TrainLoopConfig,
+    build_dataset_mix,
+    test_one_epoch,
+    train,
+    train_one_epoch,
+)

@@ -1,0 +1,221 @@
+"""Datasets layer test: synthesize a WAI scene on disk, drive
+dataset -> sampler -> loader -> collated batch -> loss."""
+
+import json
+import os
+
+import numpy as np
+import PIL.Image
+import pytest
+
+from mapanything_tpu.data.combinators import CatDataset
+from mapanything_tpu.data.loader import (
+    collate_views,
+    get_test_data_loader,
+    get_train_data_loader,
+)
+from mapanything_tpu.data.samplers import (
+    BatchedMultiFeatureRandomSampler,
+    DynamicBatchedMultiFeatureRandomSampler,
+)
+from mapanything_tpu.data.wai_datasets import WAIDataset
+
+H, W = 64, 80
+
+
+@pytest.fixture(scope="module")
+def wai_root(tmp_path_factory):
+    """Write two tiny WAI scenes (the format contract doubles as a fixture)."""
+    root = tmp_path_factory.mktemp("wai")
+    rng = np.random.default_rng(0)
+    for scene in ("scene_a", "scene_b"):
+        sroot = root / scene
+        (sroot / "images").mkdir(parents=True)
+        (sroot / "depth").mkdir()
+        (sroot / "covisibility" / "v0").mkdir(parents=True)
+        n = 6
+        frames = []
+        for i in range(n):
+            img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+            PIL.Image.fromarray(img).save(sroot / "images" / f"f{i}.png")
+            depth = rng.uniform(1.0, 4.0, size=(H, W)).astype(np.float32)
+            np.save(sroot / "depth" / f"f{i}.npy", depth)
+            pose = np.eye(4)
+            pose[:3, 3] = [0.1 * i, 0, 0]
+            frames.append(
+                {
+                    "frame_name": f"f{i}",
+                    "transform_matrix": pose.tolist(),
+                    "image": f"images/f{i}.png",
+                    "depth": f"depth/f{i}.npy",
+                }
+            )
+        meta = {
+            "scene_name": scene,
+            "dataset_name": "test",
+            "camera_model": "PINHOLE",
+            "fx": 60.0, "fy": 60.0, "cx": W / 2, "cy": H / 2,
+            "w": W, "h": H,
+            "frames": frames,
+            "frame_modalities": {
+                "image": {"frame_key": "image", "format": "image"},
+                "depth": {"frame_key": "depth", "format": "depth"},
+            },
+        }
+        with open(sroot / "scene_meta.json", "w") as f:
+            json.dump(meta, f)
+        covis = np.ones((n, n), np.float32)  # fully covisible ring
+        np.save(sroot / "covisibility" / "v0" / "covis.npy", covis)
+    return str(root)
+
+
+def make_ds(wai_root, num_views=3, **kw):
+    return WAIDataset(
+        ROOT=wai_root,
+        spec="eth3d",
+        num_views=num_views,
+        covisibility_thres=0.25,
+        resolution=(56, 42),
+        data_norm_type="dinov2",
+        seed=7,
+        **kw,
+    )
+
+
+class TestWAIDataset:
+    def test_views_contract(self, wai_root):
+        ds = make_ds(wai_root)
+        assert len(ds) == 2
+        views = ds[0]
+        assert len(views) == 3
+        v = views[0]
+        assert v["img"].shape == (42, 56, 3)
+        assert v["depthmap"].shape == (42, 56, 1)
+        assert v["pts3d"].shape == (42, 56, 3)
+        assert v["valid_mask"].shape == (42, 56)
+        assert v["ray_directions_cam"].shape == (42, 56, 3)
+        assert v["camera_pose_quats"].shape == (4,)
+        assert v["is_metric_scale"] and not v["is_synthetic"]
+        # rays are unit norm
+        np.testing.assert_allclose(
+            np.linalg.norm(v["ray_directions_cam"], axis=-1), 1.0, atol=1e-5
+        )
+        # factored consistency: depth_along_ray * dirs == pts3d_cam
+        np.testing.assert_allclose(
+            v["depth_along_ray"] * v["ray_directions_cam"],
+            v["pts3d_cam"],
+            atol=1e-4,
+        )
+
+    def test_deterministic_seeding(self, wai_root):
+        ds1, ds2 = make_ds(wai_root), make_ds(wai_root)
+        v1, v2 = ds1[(0, 0)], ds2[(0, 0)]
+        np.testing.assert_array_equal(v1[0]["img"], v2[0]["img"])
+        assert [v["idx"] for v in v1] == [v["idx"] for v in v2]
+
+    def test_combinators(self, wai_root):
+        ds = make_ds(wai_root)
+        mul = 3 * ds
+        assert len(mul) == 6
+        resized = 5 @ ds
+        resized.set_epoch(0)
+        assert len(resized) == 5
+        cat = ds + ds
+        assert len(cat) == 4
+        views = cat[(3, 0)]  # second dataset, idx 1
+        assert len(views) == 3
+
+    def test_variable_num_views(self, wai_root):
+        ds = make_ds(wai_root, num_views=4, variable_num_views=True)
+        assert ds.num_views == [2, 3, 4]
+        views = ds[(0, 0, 1)]  # nv_idx 1 -> 3 views
+        assert len(views) == 3
+
+
+class TestSamplers:
+    def test_static_sampler_batch_consistency(self, wai_root):
+        ds = make_ds(wai_root)
+        s = BatchedMultiFeatureRandomSampler(ds, batch_size=2, pool_sizes=[3])
+        s.set_epoch(0)
+        idxs = list(s)
+        # within each consecutive batch, feature idx is constant
+        for i in range(0, len(idxs) - 1, 2):
+            assert idxs[i][1] == idxs[i + 1][1]
+
+    def test_dynamic_sampler_batch_sizes(self, wai_root):
+        ds = make_ds(wai_root, num_views=4, variable_num_views=True)
+        s = DynamicBatchedMultiFeatureRandomSampler(
+            100 @ ds if False else ds,
+            pool_sizes=[1, 3],
+            scaling_feature_idx=1,
+            feature_to_batch_size_map={0: 6, 1: 4, 2: 3},  # 12 imgs per device
+        )
+        s.set_epoch(0)
+        for batch in s:
+            nv_idx = batch[0][2]
+            expected = {0: 6, 1: 4, 2: 3}[nv_idx]
+            assert len(batch) <= expected
+            assert all(t[1:] == batch[0][1:] for t in batch)
+
+    def test_rank_sharding_disjoint(self, wai_root):
+        ds = make_ds(wai_root)
+        big = 64 @ ds
+        big.set_epoch(0)
+        s0 = BatchedMultiFeatureRandomSampler(big, 2, [3], world_size=2, rank=0)
+        s1 = BatchedMultiFeatureRandomSampler(big, 2, [3], world_size=2, rank=1)
+        s0.set_epoch(0)
+        s1.set_epoch(0)
+        assert len(list(s0)) == len(list(s1)) == 32
+
+
+class TestLoader:
+    def test_train_loader_end_to_end(self, wai_root):
+        ds = make_ds(wai_root, num_views=3)
+        big = 8 @ ds
+        loader = get_train_data_loader(big, max_num_of_imgs_per_gpu=6,
+                                       num_workers=2)
+        loader.set_epoch(0)
+        batches = list(loader)
+        assert batches
+        b = batches[0]
+        views, gt = b["views"], b["gt"]
+        bsz = views["img"].shape[0]
+        assert views["img"].shape == (bsz, 3, 42, 56, 3)
+        assert gt["pts3d"].shape == (bsz, 3, 42, 56, 3)
+        assert gt["valid_mask"].dtype == bool
+        assert views["is_metric_scale"].shape == (bsz, 3)
+
+    def test_batch_feeds_loss(self, wai_root):
+        import jax.numpy as jnp
+
+        from mapanything_tpu.train.losses import factored_geometry_scale_regr3d
+
+        ds = make_ds(wai_root, num_views=2)
+        batch = collate_views([ds[(0, 0)], ds[(1, 0)]])
+        gt = {k: jnp.asarray(v) for k, v in batch["gt"].items()}
+        b, v, h, w = gt["valid_mask"].shape
+        preds = {
+            "pts3d": gt["pts3d"],
+            "pts3d_cam": gt["pts3d_cam"],
+            "ray_directions": gt["ray_directions_cam"],
+            "depth_along_ray": gt["depth_along_ray"],
+            "cam_trans": jnp.zeros((b, v, 3)),
+            "cam_quats": jnp.tile(jnp.asarray([0.0, 0, 0, 1]), (b, v, 1)),
+            "metric_scaling_factor": jnp.ones((b,)),
+            "conf": jnp.ones((b, v, h, w)),
+            "non_ambiguous_mask_logits": jnp.zeros((b, v, h, w)),
+        }
+        sets = factored_geometry_scale_regr3d(gt, preds)
+        assert set(sets) == {
+            "pts3d", "cam_pts3d", "depth_along_ray", "ray_directions",
+            "pose_quats", "pose_trans", "scale",
+        }
+
+    def test_test_loader(self, wai_root):
+        ds = make_ds(wai_root)
+        big = 8 @ ds
+        loader = get_test_data_loader(big, batch_size=2, num_workers=0)
+        loader.set_epoch(0)
+        batches = list(loader)
+        assert len(batches) == 4
+        assert batches[0]["views"]["img"].shape[0] == 2
