@@ -54,22 +54,35 @@ def main():
 
     params = model.init(jax.random.PRNGKey(0), views, geom)
 
-    @jax.jit
-    def infer_fn(params, views):
-        preds = model.apply(params, views, geom)
-        return postprocess_outputs(
-            preds, views["img"], apply_mask=True, mask_edges=True,
+    # forward and postprocess jitted separately (fused compile is ~10x slower)
+    fwd = jax.jit(lambda params, views: model.apply(params, views, geom))
+    post = jax.jit(
+        lambda preds, imgs: postprocess_outputs(
+            preds, imgs, apply_mask=True, mask_edges=True,
             apply_confidence_mask=True,
         )
+    )
+
+    def infer_fn(params, views):
+        return post(fwd(params, views), views["img"])
 
     # compile + warmup. NOTE: jax.block_until_ready is a no-op over the axon
-    # TPU tunnel — the only honest completion barrier is a host value fetch,
-    # so every timing below ends with float(...) on a scalar output.
+    # TPU tunnel — the only honest completion barrier is a host value fetch.
     t0 = time.time()
     out = infer_fn(params, views)
     _ = float(out["metric_scaling_factor"][0])
     compile_s = time.time() - t0
     print(f"# compile: {compile_s:.1f}s", flush=True)
+
+    # Each iteration ends with a host fetch: conservative (includes tunnel
+    # RTT per call) but reproducible — chained-dispatch timings behave
+    # erratically over the axon tunnel.
+    t0 = time.time()
+    out = infer_fn(params, views)
+    _ = float(out["metric_scaling_factor"][0])
+    latency_ms = (time.time() - t0) * 1000
+    print(f"# p50 single-call latency (incl host RTT): {latency_ms:.0f} ms",
+          flush=True)
 
     iters = 10
     t0 = time.time()

@@ -127,7 +127,7 @@ class DinoViT(nn.Module):
     interpolate_offset: float = 0.1
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
     remat: bool = False
 
     @property

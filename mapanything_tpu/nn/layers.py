@@ -69,7 +69,7 @@ class Attention(nn.Module):
     proj_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -99,7 +99,7 @@ class Block(nn.Module):
     layerscale_init: Optional[float] = None  # None => no LayerScale
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:

@@ -59,7 +59,7 @@ class AlternatingAttentionTrunk(nn.Module):
     layerscale_init: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
-    frame_attn_impl: str = "xla"
+    frame_attn_impl: str = "auto"
     global_attn_impl: str = "auto"
     remat: bool = False
 

@@ -266,10 +266,14 @@ def postprocess_outputs(
         final_mask = out["non_ambiguous_mask"]  # (B, V, H, W) bool
 
         if apply_confidence_mask and "conf" in out:
+            from ..ops.quantile import quantile_threshold
+
             conf = out["conf"]
             b, v = conf.shape[:2]
             flat = conf.reshape(b, v, -1)
-            thresh = jnp.quantile(
+            # bisection threshold instead of jnp.quantile: the sort-based
+            # quantile alone costs ~17s of XLA compile at 518^2
+            thresh = quantile_threshold(
                 flat, confidence_percentile / 100.0, axis=-1
             )[..., None, None]
             final_mask = final_mask & (conf > thresh)
@@ -355,54 +359,40 @@ class InferencePipeline:
             tuple(sorted(batched.keys())),
             batched["img"].shape,
         )
+        # Forward and postprocess are jitted SEPARATELY: fusing them into one
+        # program makes XLA's optimization passes superlinear (~490s compile
+        # for the flagship at 518^2 vs ~50s split). The extra dispatch is
+        # negligible next to the network.
         fn = self._jitted.get(flags)
         if fn is None:
-            fn = jax.jit(
+            fwd = jax.jit(
                 partial(
-                    _forward_and_postprocess,
+                    _forward_only,
                     model=self.model,
                     geom_cfg=geom_cfg,
                     memory_efficient=memory_efficient_inference,
+                )
+            )
+            post = jax.jit(
+                partial(
+                    postprocess_outputs,
+                    data_norm_type=data_norm_type,
                     apply_mask=apply_mask,
                     mask_edges=mask_edges,
                     edge_normal_threshold=edge_normal_threshold,
                     edge_depth_threshold=edge_depth_threshold,
                     apply_confidence_mask=apply_confidence_mask,
                     confidence_percentile=confidence_percentile,
-                    data_norm_type=data_norm_type,
                 )
             )
+            fn = (fwd, post)
             self._jitted[flags] = fn
-        out = fn(self.params, batched)
+        fwd, post = fn
+        out = post(fwd(self.params, batched), batched["img"])
         return unstack_views(out, num_views)
 
 
-def _forward_and_postprocess(
-    params,
-    batched,
-    *,
-    model,
-    geom_cfg,
-    memory_efficient,
-    apply_mask,
-    mask_edges,
-    edge_normal_threshold,
-    edge_depth_threshold,
-    apply_confidence_mask,
-    confidence_percentile,
-    data_norm_type,
-):
-    preds = model.apply(
+def _forward_only(params, batched, *, model, geom_cfg, memory_efficient):
+    return model.apply(
         params, batched, geom_cfg, memory_efficient=memory_efficient
-    )
-    return postprocess_outputs(
-        preds,
-        batched["img"],
-        data_norm_type=data_norm_type,
-        apply_mask=apply_mask,
-        mask_edges=mask_edges,
-        edge_normal_threshold=edge_normal_threshold,
-        edge_depth_threshold=edge_depth_threshold,
-        apply_confidence_mask=apply_confidence_mask,
-        confidence_percentile=confidence_percentile,
     )
