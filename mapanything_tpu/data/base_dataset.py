@@ -195,8 +195,16 @@ class BaseDataset(EasyDataset):
 
     # -- transforms --------------------------------------------------------
     def _apply_transform(self, img: PIL.Image.Image, rng) -> np.ndarray:
-        arr = np.asarray(img, dtype=np.float32) / 255.0
         name = self.transform_name
+        if name == "imgnorm":
+            # native normalize fast path (no augmentation)
+            from ..native import normalize_u8
+
+            mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
+            out = normalize_u8(np.asarray(img, np.uint8), mean, std)
+            if out is not None:
+                return out
+        arr = np.asarray(img, dtype=np.float32) / 255.0
         if name == "colorjitter":
             arr = color_jitter(arr, rng)
         elif name == "colorjitter+grayscale+gaublur":
@@ -214,6 +222,22 @@ class BaseDataset(EasyDataset):
     # -- covisibility sampling (base_dataset.py:314-452) --------------------
     def _random_walk_sampling(self, covis, num_of_samples, max_retries=4,
                               use_bidirectional_covis=True):
+        # native C++ fast path (native/dataops.cpp); identical semantics
+        from ..native import covis_random_walk
+
+        native_out = covis_random_walk(
+            np.asarray(covis), num_of_samples, self.covisibility_thres,
+            seed=int(self._rng.integers(2**63)), max_retries=max_retries,
+            bidirectional=use_bidirectional_covis,
+        )
+        if native_out is not None:
+            return native_out
+        return self._random_walk_sampling_py(
+            covis, num_of_samples, max_retries, use_bidirectional_covis
+        )
+
+    def _random_walk_sampling_py(self, covis, num_of_samples, max_retries=4,
+                                 use_bidirectional_covis=True):
         excluded = set()
         best_walk: list = []
         n = len(covis)

@@ -37,3 +37,15 @@ __all__ = [
     "images_only_config",
     "model_factory",
 ]
+
+from .modular_dust3r import ModularDUSt3R, ModularDUSt3RConfig
+
+MODEL_CONFIGS["modular_dust3r"] = ModularDUSt3RConfig
+
+
+def mapanything_ablations_config(**overrides) -> "MapAnythingConfig":
+    """MapAnythingAblations preset (reference ablations.py:78): no scale
+    token, optional RoPE trunk positional encoding."""
+    defaults = dict(use_scale_token=False, trunk_rope_freq=100.0)
+    defaults.update(overrides)
+    return MapAnythingConfig(**defaults)

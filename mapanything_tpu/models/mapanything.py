@@ -128,6 +128,11 @@ class MapAnythingConfig:
     distinguish_ref_and_non_ref_views: bool = True
     use_view_pe: bool = False
     trunk_gradient_checkpointing: bool = False
+    # Ablation knobs (reference MapAnythingAblations, ablations.py:78):
+    # drop the scale token (metric_scaling_factor fixed to 1) and/or use
+    # RoPE2D in the trunk's frame attention ("RoPE<freq>").
+    use_scale_token: bool = True
+    trunk_rope_freq: Optional[float] = None
 
     dpt_feature_dim: int = 256
     dense_output_dim: int = 6  # raydirs 3 + depth 1 + conf 1 + mask 1
@@ -220,11 +225,14 @@ class MapAnything(nn.Module):
         # ------------------------------------------------------------------
         # 3. Trunk with scale token (model.py:1523-1542).
         # ------------------------------------------------------------------
-        scale_token = self.param(
-            "scale_token", nn.initializers.truncated_normal(0.02),
-            (enc_dim,), self.param_dtype,
-        )
-        tok = jnp.broadcast_to(scale_token[None, None, :], (b, 1, enc_dim))
+        if cfg.use_scale_token:
+            scale_token = self.param(
+                "scale_token", nn.initializers.truncated_normal(0.02),
+                (enc_dim,), self.param_dtype,
+            )
+            tok = jnp.broadcast_to(scale_token[None, None, :], (b, 1, enc_dim))
+        else:  # ablation: no metric-scale token (MapAnythingAblations)
+            tok = jnp.zeros((b, 0, enc_dim), dtype=fused.dtype)
 
         trunk = AlternatingAttentionTrunk(
             input_embed_dim=enc_dim,
@@ -234,6 +242,7 @@ class MapAnything(nn.Module):
             indices=tuple(cfg.trunk_indices),
             distinguish_ref_and_non_ref_views=cfg.distinguish_ref_and_non_ref_views,
             use_view_pe=cfg.use_view_pe,
+            rope_freq=cfg.trunk_rope_freq,
             dtype=cfg.dtype,
             param_dtype=self.param_dtype,
             remat=cfg.trunk_gradient_checkpointing,
@@ -288,11 +297,15 @@ class MapAnything(nn.Module):
         )
         raw_pose = pose_head(hooks[-1])  # (B*V, 7)
 
-        scale_head = MLPHead(
-            input_feature_dim=cfg.trunk_dim, output_dim=1, dtype=jnp.float32,
-            param_dtype=self.param_dtype, name="scale_head",
-        )
-        raw_scale = scale_head(scale_tok_out[:, 0, :].astype(jnp.float32))
+        if cfg.use_scale_token:
+            scale_head = MLPHead(
+                input_feature_dim=cfg.trunk_dim, output_dim=1,
+                dtype=jnp.float32, param_dtype=self.param_dtype,
+                name="scale_head",
+            )
+            raw_scale = scale_head(scale_tok_out[:, 0, :].astype(jnp.float32))
+        else:
+            raw_scale = None
 
         # ------------------------------------------------------------------
         # 5. Adaptors + factored recombination (model.py:1683-1907).
@@ -301,7 +314,10 @@ class MapAnything(nn.Module):
             raw_dense.reshape(b, v, h, w, cfg.dense_output_dim)
         )
         pose = pose_adaptor(raw_pose.reshape(b, v, 7))
-        metric_scale = scale_adaptor(raw_scale)[:, 0]  # (B,)
+        if raw_scale is not None:
+            metric_scale = scale_adaptor(raw_scale)[:, 0]  # (B,)
+        else:
+            metric_scale = jnp.ones((b,), jnp.float32)
 
         ray_dirs = dense["ray_directions"]
         depth_along_ray = dense["depth_along_ray"]

@@ -72,7 +72,7 @@ class Attention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(
@@ -81,6 +81,12 @@ class Attention(nn.Module):
         )(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if rope is not None:  # 2D rotary PE (ablations, reference RoPE2D)
+            from .rope import apply_rope
+
+            cos, sin = rope
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
         out = sdpa(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, self.dim)
         return nn.Dense(
@@ -102,7 +108,7 @@ class Block(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name=name
         )
@@ -110,7 +116,7 @@ class Block(nn.Module):
         h = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl, name="attn",
-        )(h)
+        )(h, rope=rope)
         if self.layerscale_init is not None:
             h = LayerScale(self.dim, self.layerscale_init,
                            param_dtype=self.param_dtype, name="ls1")(h)

@@ -57,6 +57,9 @@ class AlternatingAttentionTrunk(nn.Module):
     use_view_pe: bool = False
     max_views_for_pe: int = 1000
     layerscale_init: Optional[float] = None
+    # 2D rotary PE on frame-attention layers (ablations.py:216-234
+    # "RoPE<freq>" strings); None = learned-PE-free trunk (released default)
+    rope_freq: Optional[float] = None
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     frame_attn_impl: str = "auto"
@@ -105,6 +108,13 @@ class AlternatingAttentionTrunk(nn.Module):
                 view_indices = jnp.broadcast_to(jnp.arange(v)[None], (b, v))
             x = x + pe_table[view_indices].astype(self.dtype)[:, :, None, :]
 
+        rope = None
+        if self.rope_freq is not None:
+            from .rope import rope_2d_cos_sin
+
+            rope = rope_2d_cos_sin(gh, gw, self.dim // self.num_heads,
+                                   self.rope_freq)
+
         intermediates = []
         block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
@@ -126,7 +136,10 @@ class AlternatingAttentionTrunk(nn.Module):
                 x = flat[:, : v * p].reshape(b, v, p, self.dim)
                 tok = flat[:, v * p :]
             else:
-                x = blk(x.reshape(b * v, p, self.dim)).reshape(b, v, p, self.dim)
+                # RoPE applies in frame attention (per-view patch positions)
+                x = blk(x.reshape(b * v, p, self.dim), rope=rope).reshape(
+                    b, v, p, self.dim
+                )
 
             if i in self.indices:
                 feat = x

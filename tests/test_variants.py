@@ -1,0 +1,73 @@
+"""Model-variant tests: ablations (no scale token, RoPE), ModularDUSt3R,
+global-attention trunk, cross-attention decoder blocks."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.models import (
+    GeometricInputConfig,
+    MapAnything,
+    MapAnythingConfig,
+    ModularDUSt3R,
+    ModularDUSt3RConfig,
+    mapanything_ablations_config,
+)
+
+B, V, H, W = 1, 2, 28, 42
+
+
+def tiny_overrides():
+    return dict(encoder_size="small", trunk_dim=384, trunk_depth=4,
+                trunk_num_heads=6, trunk_indices=(1, 2), dpt_feature_dim=32,
+                dtype=jnp.float32)
+
+
+class TestAblations:
+    def test_no_scale_token_rope(self):
+        cfg = mapanything_ablations_config(**tiny_overrides())
+        model = MapAnything(cfg=cfg)
+        views = {"img": jnp.ones((B, V, H, W, 3))}
+        from mapanything_tpu.models import images_only_config
+
+        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = ["/".join(str(k) for k in kp) for kp, _ in flat]
+        assert not any("scale_token" in n or "scale_head" in n for n in names)
+        out = model.apply(params, views, images_only_config())
+        np.testing.assert_array_equal(
+            np.asarray(out["metric_scaling_factor"]), 1.0
+        )
+        assert out["pts3d"].shape == (B, V, H, W, 3)
+
+    def test_rope_changes_output(self):
+        base = MapAnything(cfg=MapAnythingConfig(**tiny_overrides()))
+        roped = MapAnything(
+            cfg=MapAnythingConfig(trunk_rope_freq=100.0, **tiny_overrides())
+        )
+        views = {"img": jnp.ones((B, V, H, W, 3)) * 0.3}
+        from mapanything_tpu.models import images_only_config
+
+        p1 = base.init(jax.random.PRNGKey(0), views, images_only_config())
+        o1 = base.apply(p1, views, images_only_config())
+        o2 = roped.apply(p1, views, images_only_config())  # same params
+        assert float(jnp.abs(o1["depth_along_ray"] - o2["depth_along_ray"]).max()) > 1e-6
+
+
+class TestModularDUSt3R:
+    def test_forward_contract(self):
+        cfg = ModularDUSt3RConfig(encoder_size="base", decoder_dim=192,
+                                  decoder_depth=2, decoder_num_heads=6,
+                                  dtype=jnp.float32)
+        # shrink the encoder via config table override is not possible;
+        # use base encoder at tiny resolution instead
+        model = ModularDUSt3R(cfg=cfg)
+        views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.1}
+        params = model.init(jax.random.PRNGKey(0), views)
+        out = model.apply(params, views)
+        assert out["pts3d"].shape == (1, 2, 32, 32, 3)
+        assert out["conf"].shape == (1, 2, 32, 32)
+        assert bool(jnp.isfinite(out["pts3d"]).all())
+        assert np.all(np.asarray(out["conf"]) >= 1.0)
