@@ -111,7 +111,8 @@ def factored_geometry_scale_regr3d(
     preds: Dict[str, jnp.ndarray],
     criterion=RobustRegressionLoss(alpha=0.5, scaling_c=0.05),
     cfg: FactoredGeometryConfig = FactoredGeometryConfig(),
-) -> Dict[str, Dict[str, jnp.ndarray]]:
+    return_normalized: bool = False,
+):
     """Compute the ordered loss sets of FactoredGeometryScaleRegr3D
     (losses.py:3117; view0-frame normalization logic at :3198-3296).
 
@@ -257,6 +258,9 @@ def factored_geometry_scale_regr3d(
         "mask": scale_valid,
         "type": "sample",
     }
+    if return_normalized:
+        aux = {"pr_pts_cam_n": pr_pts_cam_n, "gt_pts_cam_n": gt_pts_cam_n}
+        return losses, aux
     return losses
 
 
@@ -348,6 +352,119 @@ def conf_and_exclude_top_n_loss(
     return total, details
 
 
+def _smooth(err: jnp.ndarray, beta: float) -> jnp.ndarray:
+    """Smooth-L1 shaping of angular errors (losses.py:101)."""
+    if beta == 0:
+        return err
+    return jnp.where(err < beta, 0.5 * err * err / beta, err - 0.5 * beta)
+
+
+def compute_normal_loss(points, gt_points, mask):
+    """Quad-cross-product normal consistency (losses.py:108, MoGe-style).
+
+    Args: points/gt_points (B, H, W, 3); mask (B, H, W) bool.
+    Returns a scalar (summed over batch, normalized like the reference:
+    / (valid_count * 4 * max(H, W)))."""
+    import math
+
+    from ..geometry import angle_diff_vec3
+
+    h, w = points.shape[-3:-1]
+
+    def quads(p):
+        lu = p[..., :-1, :-1, :]
+        ru = p[..., :-1, 1:, :]
+        ld = p[..., 1:, :-1, :]
+        rd = p[..., 1:, 1:, :]
+        return (
+            jnp.cross(ru - rd, ld - rd),
+            jnp.cross(lu - ru, rd - ru),
+            jnp.cross(ld - lu, ru - lu),
+            jnp.cross(rd - ld, lu - ld),
+        )
+
+    pr = quads(points)
+    gt = quads(gt_points)
+    m_lu = mask[..., :-1, :-1]
+    m_ru = mask[..., :-1, 1:]
+    m_ld = mask[..., 1:, :-1]
+    m_rd = mask[..., 1:, 1:]
+    ms = (m_ru & m_ld & m_rd, m_lu & m_rd & m_ru,
+          m_ld & m_ru & m_lu, m_rd & m_lu & m_ld)
+
+    min_a, max_a, beta = math.radians(1), math.radians(90), math.radians(3)
+    loss = 0.0
+    for p, g, m in zip(pr, gt, ms):
+        ang = jnp.clip(angle_diff_vec3(p, g), min_a, max_a)
+        loss = loss + m * _smooth(ang, beta)
+    total_valid = (ms[0] | ms[1] | ms[2] | ms[3]).sum()
+    denom = jnp.maximum(total_valid * (4 * max(h, w)), 1)
+    return jnp.sum(loss) / denom * jnp.where(total_valid > 0, 1.0, 0.0)
+
+
+def compute_gradient_matching_loss(prediction, gt_target, mask, scales=4):
+    """Multi-scale gradient matching on (B, H, W, C) maps (losses.py:243,
+    MiDaS eq. 11)."""
+    def one_scale(pred, gt, m):
+        m = jnp.broadcast_to(m[..., None], pred.shape)
+        diff = (pred - gt) * m
+        gx = jnp.abs(diff[:, :, 1:] - diff[:, :, :-1]) * (m[:, :, 1:] * m[:, :, :-1])
+        gy = jnp.abs(diff[:, 1:, :] - diff[:, :-1, :]) * (m[:, 1:, :] * m[:, :-1, :])
+        gx = jnp.clip(gx, None, 100.0)
+        gy = jnp.clip(gy, None, 100.0)
+        total = jnp.sum(gx) + jnp.sum(gy)
+        n_valid = jnp.sum(m)
+        return jnp.where(n_valid > 0, total / jnp.maximum(n_valid, 1), 0.0)
+
+    mask = mask.astype(prediction.dtype)
+    total = 0.0
+    for s in range(scales):
+        step = 2 ** s
+        total = total + one_scale(
+            prediction[:, ::step, ::step], gt_target[:, ::step, ::step],
+            mask[:, ::step, ::step],
+        )
+    return total
+
+
+def normal_gm_loss(
+    pr_pts_cam_n: jnp.ndarray,  # (B, V, H, W, 3) normalized cam points
+    gt_pts_cam_n: jnp.ndarray,
+    valid: jnp.ndarray,  # (B, V, H, W)
+    is_synthetic: Optional[jnp.ndarray] = None,  # (B,)
+    apply_to_synthetic_only: bool = True,
+    normal_loss_weight: float = 3.0,
+    gm_loss_weight: float = 3.0,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """FactoredGeometryScaleRegr3DPlusNormalGMLoss extra terms
+    (losses.py:3810-3960): per-view normal consistency on normalized camera
+    points + multi-scale gradient matching on log z-depth, synthetic data
+    only in the released recipe."""
+    b, v = valid.shape[:2]
+    mask = valid
+    if apply_to_synthetic_only:
+        syn = (is_synthetic if is_synthetic is not None
+               else jnp.zeros((b,), dtype=bool))
+        mask = mask & syn[:, None, None, None]
+
+    normal_total = 0.0
+    gm_total = 0.0
+    for i in range(v):  # per-view scalars, like the reference's view loop
+        normal_total = normal_total + compute_normal_loss(
+            pr_pts_cam_n[:, i], gt_pts_cam_n[:, i], mask[:, i]
+        )
+        pr_z = apply_log_to_norm(pr_pts_cam_n[:, i, ..., 2:])
+        gt_z = apply_log_to_norm(gt_pts_cam_n[:, i, ..., 2:])
+        gm_total = gm_total + compute_gradient_matching_loss(
+            pr_z, gt_z, mask[:, i]
+        )
+    total = normal_loss_weight * normal_total + gm_loss_weight * gm_total
+    return total, {
+        "normal_loss": normal_loss_weight * normal_total,
+        "gm_loss": gm_loss_weight * gm_total,
+    }
+
+
 def non_ambiguous_mask_loss(
     logits: jnp.ndarray,  # (B, V, H, W)
     gt_non_ambiguous: jnp.ndarray,  # (B, V, H, W) bool
@@ -368,6 +485,11 @@ class OverallLossConfig:
     mask_loss_weight: float = 0.3
     criterion_alpha: float = 0.5
     criterion_scaling_c: float = 0.05
+    # normal + gradient-matching auxiliary terms (released recipe: on, 3.0,
+    # synthetic data only)
+    use_normal_gm: bool = True
+    normal_loss_weight: float = 3.0
+    gm_loss_weight: float = 3.0
     factored: FactoredGeometryConfig = FactoredGeometryConfig()
 
 
@@ -380,7 +502,9 @@ def overall_loss(
     normal/GM term — see normal_gm_loss) + 2/n_views scaling
     (training.py:474-477)."""
     criterion = RobustRegressionLoss(cfg.criterion_alpha, cfg.criterion_scaling_c)
-    loss_sets = factored_geometry_scale_regr3d(gt, preds, criterion, cfg.factored)
+    loss_sets, aux = factored_geometry_scale_regr3d(
+        gt, preds, criterion, cfg.factored, return_normalized=True
+    )
     total, details = conf_and_exclude_top_n_loss(
         loss_sets,
         preds["conf"],
@@ -393,6 +517,16 @@ def overall_loss(
     )
     details["mask_bce_loss"] = mask_term
     total = total + mask_term
+
+    if cfg.use_normal_gm:
+        ngm_total, ngm_details = normal_gm_loss(
+            aux["pr_pts_cam_n"], aux["gt_pts_cam_n"], gt["valid_mask"],
+            gt.get("is_synthetic"),
+            normal_loss_weight=cfg.normal_loss_weight,
+            gm_loss_weight=cfg.gm_loss_weight,
+        )
+        details.update(ngm_details)
+        total = total + ngm_total
 
     n_views = gt["pts3d"].shape[1]
     if n_views > 2:

@@ -198,3 +198,43 @@ class TestWrappers:
         ours = np.asarray(crit(jnp.asarray(a), jnp.asarray(b)))
         ref = ref_crit(torch.from_numpy(a), torch.from_numpy(b)).numpy()
         np.testing.assert_allclose(ours, ref, rtol=1e-4)
+
+
+class TestNormalGM:
+    def test_perfect_prediction_zero(self):
+        from mapanything_tpu.train.losses import normal_gm_loss
+
+        batch = make_synthetic_batch(1, 2, 16, 16, seed=8)
+        gt = batch["gt"]
+        pts = gt["pts3d_cam"]
+        total, details = normal_gm_loss(
+            pts, pts, gt["valid_mask"],
+            is_synthetic=jnp.ones((1,), dtype=bool),
+        )
+        assert float(details["gm_loss"]) < 1e-6
+        # normal term has a MIN_ANGLE clamp (1 deg) so it is small, not zero
+        assert float(details["normal_loss"]) < 0.1
+
+    def test_real_data_masked_out(self):
+        from mapanything_tpu.train.losses import normal_gm_loss
+
+        batch = make_synthetic_batch(1, 2, 16, 16, seed=8)
+        gt = batch["gt"]
+        pts = gt["pts3d_cam"]
+        total, _ = normal_gm_loss(
+            pts, pts * 1.5, gt["valid_mask"],
+            is_synthetic=jnp.zeros((1,), dtype=bool),  # real data
+            apply_to_synthetic_only=True,
+        )
+        assert float(total) == 0.0
+
+    def test_overall_loss_includes_terms(self):
+        batch = make_synthetic_batch(1, 2, 16, 16, seed=9)
+        gt = dict(batch["gt"])
+        gt["is_synthetic"] = jnp.ones((1,), dtype=bool)
+        preds = perfect_preds(gt)
+        preds = dict(preds)
+        preds["pts3d_cam"] = preds["pts3d_cam"] * 1.2
+        total, details = overall_loss(gt, preds)
+        assert "normal_loss" in details and "gm_loss" in details
+        assert float(details["gm_loss"]) > 0
