@@ -43,9 +43,11 @@ def sdpa(
     if impl == "xla":
         return _sdpa_xla(q, k, v)
     if impl == "flash":
-        from .flash_attention import flash_attention
+        # custom-VJP wrapper: plain flash kernel for the primal, Pallas
+        # dq/dk/dv kernels under differentiation (training graphs)
+        from .flash_attention_bwd import flash_attention_trainable
 
-        return flash_attention(q, k, v)
+        return flash_attention_trainable(q, k, v)
     raise ValueError(f"unknown attention impl: {impl}")
 
 

@@ -1,0 +1,280 @@
+"""Backward pass for the Pallas flash attention kernel (custom VJP).
+
+Training at the reference's 24-view curriculum puts ~33k tokens through the
+global-attention layers; an XLA attention backward would materialize the
+(N, N) score matrix per head (~4 GB fp32 per head at N=33k) — impossible.
+These kernels recompute probabilities blockwise from the saved output and
+per-row log-sum-exp, the standard flash-attention backward:
+
+    delta = rowsum(dO * O)                       (host-side jnp)
+    dV = P^T dO
+    dS = P * (dO V^T - delta)
+    dK = dS^T Q ;  dQ = dS K
+
+Two kernels: a kv-major pass accumulating dK/dV and a q-major pass for dQ.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import _LANES, _round_up, flash_attention
+
+
+def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                         m_ref, l_ref, acc_ref,
+                         *, scale, kv_len, block_k):
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < kv_len, s, -jnp.inf)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _fin():
+        l = l_ref[:, :1]
+        safe_l = jnp.where(l == 0, 1.0, l)
+        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        lse_row = m_ref[:, 0] + jnp.log(safe_l[:, 0])  # (bq,)
+        # lse is stored (bh, nq, 8, bq) to satisfy TPU block tiling
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
+
+
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                dk_ref, dv_ref, dk_acc, dv_acc,
+                *, scale, q_len, kv_len, block_q, block_k):
+    i = pl.program_id(2)  # q-block index (inner)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]          # (bq, d)
+    k = k_ref[0]          # (bk, d)
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0]      # (bq,)
+    delta = delta_ref[0, 0, 0]  # (bq,)
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 1)
+    valid = (row < q_len) & (col < kv_len)
+    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # (bq, bk)
+
+    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
+        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale
+    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
+        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _dq_kernel(q_ref, k_ref, do_ref, v_ref, lse_ref, delta_ref,
+               dq_ref, dq_acc, *, scale, q_len, kv_len, block_q, block_k):
+    j = pl.program_id(2)  # kv-block index (inner)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0, 0, 0]
+    delta = delta_ref[0, 0, 0]
+
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * scale
+    row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, s.shape, 0)
+    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    valid = (row < q_len) & (col < kv_len)
+    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+
+    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta[:, None]) * scale
+    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
+        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _fin():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _prep(x, target_len, b, h, d):
+    x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+    if x.shape[1] != target_len:
+        x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+    return x
+
+
+def _fwd_with_lse(q, k, v, block_q, block_k):
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = d**-0.5
+    block_q = min(block_q, _round_up(n, 128))
+    block_k = min(block_k, _round_up(kv_len, 128))
+    n_pad = _round_up(n, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    qb, kb, vb = (_prep(q, n_pad, b, h, d), _prep(k, kv_pad, b, h, d),
+                  _prep(v, kv_pad, b, h, d))
+    grid = (b * h, n_pad // block_q, kv_pad // block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_with_lse_kernel, scale=scale, kv_len=kv_len,
+                          block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct(
+                (b * h, n_pad // block_q, 8, block_q), jnp.float32
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+    )(qb, kb, vb)
+    out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
+    return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
+                                             kv_pad, block_q, block_k))
+
+
+def _bwd(res, g):
+    qb, kb, vb, ob, lse, meta = res
+    b, n, h, d, kv_len, n_pad, kv_pad, block_q, block_k = meta
+    scale = d**-0.5
+    gb = _prep(g, n_pad, b, h, d)
+    delta = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+    # tile delta like lse: (bh, nq, 8, block_q)
+    delta = jnp.broadcast_to(
+        delta.reshape(b * h, n_pad // block_q, 1, block_q),
+        (b * h, n_pad // block_q, 8, block_q),
+    )
+
+    bh = b * h
+    nq = n_pad // block_q
+    nk = kv_pad // block_k
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, q_len=n, kv_len=kv_len,
+                          block_q=block_q, block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),  # q
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),  # k
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),  # v
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),  # do
+            pl.BlockSpec((1, 1, 8, block_q), lambda bh, j, i: (bh, i, 0, 0)),  # lse
+            pl.BlockSpec((1, 1, 8, block_q), lambda bh, j, i: (bh, i, 0, 0)),  # delta
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, kv_pad, d), qb.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), qb.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+    )(qb, kb, vb, gb, lse, delta)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, q_len=n, kv_len=kv_len,
+                          block_q=block_q, block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),  # q
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),  # k
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),  # do
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),  # v
+            pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
+            pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qb.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+    )(qb, kb, gb, vb, lse, delta)
+
+    def unprep(x, orig_len):
+        x = x[:, :orig_len].reshape(b, h, orig_len, d)
+        return jnp.swapaxes(x, 1, 2)
+
+    return unprep(dq, n), unprep(dk, kv_len), unprep(dv, kv_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_trainable(q, k, v, block_q: int = 1024,
+                              block_k: int = 1024):
+    """Flash attention with a Pallas backward pass (for training graphs)."""
+    return flash_attention(q, k, v, block_q=block_q, block_k=block_k)
+
+
+def _vjp_fwd(q, k, v, block_q, block_k):
+    return _fwd_with_lse(q, k, v, block_q, block_k)
+
+
+def _vjp_bwd(block_q, block_k, res, g):
+    return _bwd(res, g)
+
+
+flash_attention_trainable.defvjp(_vjp_fwd, _vjp_bwd)

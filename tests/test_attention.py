@@ -45,3 +45,36 @@ class TestFlashAttention:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
         )
+
+
+class TestFlashBackward:
+    def test_gradients_match_xla(self, rng):
+        """Pallas dq/dk/dv kernels vs XLA autodiff (interpret mode)."""
+        import functools
+
+        from mapanything_tpu.ops import flash_attention_bwd as fb
+
+        # run the pallas calls in interpret mode on CPU
+        orig = fb.pl.pallas_call
+        fb.pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            q, k, v = _qkv(rng, 1, 256, 2, 64)
+
+            def loss_flash(q, k, v):
+                out, res = fb._fwd_with_lse(q, k, v, 128, 128)
+                return jnp.sum(out**2), (out, res)
+
+            (val, (out, res)) = loss_flash(q, k, v)
+            g = 2 * out
+            dq, dk, dv = fb._bwd(res, g)
+
+            def loss_xla(q, k, v):
+                return jnp.sum(_sdpa_xla(q, k, v) ** 2)
+
+            gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+            for ours, ref in zip((dq, dk, dv), gx):
+                np.testing.assert_allclose(
+                    np.asarray(ours), np.asarray(ref), atol=2e-4, rtol=1e-3
+                )
+        finally:
+            fb.pl.pallas_call = orig
