@@ -60,29 +60,6 @@ def depth_edge(
     return edge
 
 
-def _window_stack(x: jnp.ndarray, kernel_size: int, h_axis: int, w_axis: int,
-                  pad_mode: str = "edge") -> jnp.ndarray:
-    """Stack the kernel_size^2 spatially-shifted copies of x on a new leading axis.
-
-    x is padded with `pad_mode` so each shifted copy has the original H, W.
-    """
-    pad = kernel_size // 2
-    pads = [(0, 0)] * x.ndim
-    pads[h_axis] = (pad, pad)
-    pads[w_axis] = (pad, pad)
-    xp = jnp.pad(x, pads, mode=pad_mode)
-    h = x.shape[h_axis]
-    w = x.shape[w_axis]
-    views = []
-    for di in range(kernel_size):
-        for dj in range(kernel_size):
-            sl = [slice(None)] * x.ndim
-            sl[h_axis] = slice(di, di + h)
-            sl[w_axis] = slice(dj, dj + w)
-            views.append(xp[tuple(sl)])
-    return jnp.stack(views, axis=0)
-
-
 def normals_edge(
     normals: jnp.ndarray,
     tol: float,
@@ -100,17 +77,37 @@ def normals_edge(
     assert normals.shape[-1] == 3
     normals = normals / (jnp.linalg.norm(normals, axis=-1, keepdims=True) + 1e-12)
 
-    # (K2, ..., H, W, 3) neighbors with edge padding, like the reference's
-    # sliding_window_2d over an edge-padded array.
-    neighbors = _window_stack(normals, kernel_size, h_axis=normals.ndim - 3,
-                              w_axis=normals.ndim - 2, pad_mode="edge")
-    cos = jnp.sum(normals[None, ...] * neighbors, axis=-1)
-    angle = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+    # Accumulate the window max over the k^2 shifts instead of stacking them
+    # (a stacked window costs k^2 full-size copies — ~3 GB at 100 views).
+    pad = kernel_size // 2
+    h_axis, w_axis = normals.ndim - 3, normals.ndim - 2
+    pads = [(0, 0)] * normals.ndim
+    pads[h_axis] = (pad, pad)
+    pads[w_axis] = (pad, pad)
+    np_pad = jnp.pad(normals, pads, mode="edge")
     if mask is not None:
-        mask_nb = _window_stack(mask, kernel_size, h_axis=mask.ndim - 2,
-                                w_axis=mask.ndim - 1, pad_mode="edge")
-        angle = jnp.where(mask_nb, angle, 0.0)
-    angle_diff = jnp.max(angle, axis=0)  # (..., H, W)
+        mpads = [(0, 0)] * mask.ndim
+        mpads[-2] = (pad, pad)
+        mpads[-1] = (pad, pad)
+        m_pad = jnp.pad(mask, mpads, mode="edge")
+
+    h = normals.shape[h_axis]
+    w = normals.shape[w_axis]
+    angle_diff = jnp.zeros(normals.shape[:-1], normals.dtype)
+    for di in range(kernel_size):
+        for dj in range(kernel_size):
+            sl = [slice(None)] * normals.ndim
+            sl[h_axis] = slice(di, di + h)
+            sl[w_axis] = slice(dj, dj + w)
+            nb = np_pad[tuple(sl)]
+            cos = jnp.sum(normals * nb, axis=-1)
+            ang = jnp.arccos(jnp.clip(cos, -1.0, 1.0))
+            if mask is not None:
+                msl = [slice(None)] * mask.ndim
+                msl[-2] = slice(di, di + h)
+                msl[-1] = slice(dj, dj + w)
+                ang = jnp.where(m_pad[tuple(msl)], ang, 0.0)
+            angle_diff = jnp.maximum(angle_diff, ang)
     angle_diff = max_pool_2d(angle_diff, kernel_size)
     return angle_diff > jnp.deg2rad(tol)
 
@@ -157,30 +154,29 @@ def points_to_normals(
     down = sl(2, 1, pts, 1) - center
     right = sl(1, 2, pts, 1) - center
 
-    normal = jnp.stack(
-        [
-            jnp.cross(up, left),
-            jnp.cross(left, down),
-            jnp.cross(down, right),
-            jnp.cross(right, up),
-        ],
-        axis=0,
-    )
-    normal = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-12)
-
     m_c = sl(1, 1, mpad, 0)
     m_u = sl(0, 1, mpad, 0)
     m_l = sl(1, 0, mpad, 0)
     m_d = sl(2, 1, mpad, 0)
     m_r = sl(1, 2, mpad, 0)
-    valid = (
-        jnp.stack([m_u & m_l, m_l & m_d, m_d & m_r, m_r & m_u], axis=0) & m_c[None]
+
+    # Accumulate the four quad normals instead of stacking (memory: 1 copy
+    # instead of 4 at full resolution).
+    quads = (
+        (up, left, m_u & m_l),
+        (left, down, m_l & m_d),
+        (down, right, m_d & m_r),
+        (right, up, m_r & m_u),
     )
-
-    normal = jnp.sum(normal * valid[..., None], axis=0)
+    normal = jnp.zeros_like(center)
+    normal_mask = jnp.zeros(center.shape[:-1], dtype=bool)
+    for a, bvec, m in quads:
+        cr = jnp.cross(a, bvec)
+        cr = cr / (jnp.linalg.norm(cr, axis=-1, keepdims=True) + 1e-12)
+        valid = (m & m_c)
+        normal = normal + cr * valid[..., None]
+        normal_mask = normal_mask | valid
     normal = normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-12)
-
-    normal_mask = jnp.any(valid, axis=0)
     if has_mask:
         normal = jnp.where(normal_mask[..., None], normal, 0.0)
     return normal, normal_mask

@@ -140,7 +140,7 @@ class MapAnythingConfig:
 
     # Static replacement for adaptive minibatching: dense-head token maps are
     # processed in chunks of this many views at a time when memory_efficient.
-    dense_head_chunk: int = 8
+    dense_head_chunk: int = 4
 
     # Compute dtype for the encoder/trunk hot path.
     dtype: Any = jnp.bfloat16
@@ -154,6 +154,7 @@ class _DenseHead(nn.Module):
 
     @nn.compact
     def __call__(self, hooks, out_hw):
+        hooks = [h.astype(jnp.float32) for h in hooks]  # fp32 island entry
         feat = DPTFeature(
             input_feature_dims=(1024, self.cfg.trunk_dim, self.cfg.trunk_dim,
                                 self.cfg.trunk_dim),
@@ -255,9 +256,11 @@ class MapAnything(nn.Module):
         #    taps..., final] (model.py:1549-1597, use_encoder_features=True
         #    for 2 IFR indices).
         # ------------------------------------------------------------------
+        # Hooks stay bf16 at the (B*V) batch — the fp32 upcast happens inside
+        # the dense head per chunk, otherwise 4 full-resolution fp32 copies
+        # (2.2 GB at 100 views) blow HBM before chunking can help.
         hooks = [enc_feats] + intermediates + [final]
-        hooks = [x.reshape(b * v, gh, gw, x.shape[-1]).astype(jnp.float32)
-                 for x in hooks]
+        hooks = [x.reshape(b * v, gh, gw, x.shape[-1]) for x in hooks]
 
         dense_head = _DenseHead(cfg, param_dtype=self.param_dtype,
                                 name="dense_head")
@@ -295,7 +298,7 @@ class MapAnything(nn.Module):
             param_dtype=self.param_dtype,
             name="pose_head",
         )
-        raw_pose = pose_head(hooks[-1])  # (B*V, 7)
+        raw_pose = pose_head(hooks[-1].astype(jnp.float32))  # (B*V, 7)
 
         if cfg.use_scale_token:
             scale_head = MLPHead(
