@@ -160,6 +160,67 @@ class AlternatingAttentionTrunk(nn.Module):
         return final, intermediates, tok
 
 
+class CrossAttentionTrunk(AlternatingAttentionTrunk):
+    """DUSt3R-style multi-view cross-attention trunk (the cat_ifr_dust3r
+    ablation; reference MultiViewCrossAttentionTransformer, model.py:45-48).
+
+    Each layer: per-view self-attention, then cross-attention from each view
+    to the concatenation of all OTHER views' tokens. Extra global tokens are
+    appended to every view's context. Two weight sets distinguish the
+    reference view (branch 0) from non-reference views (branch 1), matching
+    the DUSt3R two-decoder pattern generalized to N views."""
+
+    @nn.compact
+    def __call__(self, features, extra_tokens, view_indices=None):
+        from .croco import DecoderBlock
+
+        b, v, gh, gw, _ = features.shape
+        p = gh * gw
+        x = features.reshape(b, v, p, self.input_embed_dim)
+        proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj")
+        x = proj(x.astype(self.dtype))
+        tok = proj(extra_tokens.astype(self.dtype))
+
+        intermediates = []
+        for i in range(self.depth):
+            ref_blk = DecoderBlock(self.dim, self.num_heads,
+                                   mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                                   param_dtype=self.param_dtype,
+                                   attn_impl=self.global_attn_impl,
+                                   name=f"ref_layers_{i}")
+            other_blk = DecoderBlock(self.dim, self.num_heads,
+                                     mlp_ratio=self.mlp_ratio, dtype=self.dtype,
+                                     param_dtype=self.param_dtype,
+                                     attn_impl=self.global_attn_impl,
+                                     name=f"layers_{i}")
+            new_views = []
+            for vi in range(v):
+                others = jnp.concatenate(
+                    [x[:, vj] for vj in range(v) if vj != vi] + [tok], axis=1
+                )
+                blk = ref_blk if vi == 0 else other_blk
+                new_views.append(blk(x[:, vi], others))
+            x = jnp.stack(new_views, axis=1)
+            if i in self.indices:
+                feat = x
+                if self.norm_intermediate:
+                    feat = nn.LayerNorm(
+                        epsilon=1e-6, dtype=jnp.float32,
+                        param_dtype=self.param_dtype,
+                        name=f"norm_intermediate_{i}",
+                    )(feat).astype(self.dtype)
+                intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
+
+        final_norm = nn.LayerNorm(
+            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
+            name="norm",
+        )
+        x = final_norm(x).astype(self.dtype)
+        tok = final_norm(tok).astype(self.dtype)
+        return x.reshape(b, v, gh, gw, self.dim), intermediates, tok
+
+
 class GlobalAttentionTrunk(AlternatingAttentionTrunk):
     """Every layer attends globally over all views (VGGT-global ablation,
     reference MultiViewGlobalAttentionTransformer, model.py:41-44)."""

@@ -239,20 +239,55 @@ def factored_geometry_scale_regr3d(
         "type": "pixel",
     }
 
-    # pose losses: per (B, V); quats handle the double cover (losses.py:3669)
-    quats_loss = jnp.minimum(
-        criterion(pr_pose_quats, gt_pose_quats),
-        criterion(pr_pose_quats, -gt_pose_quats),
-    )
-    # trans masked by views that have any valid pixel (losses.py:3297-3300)
     view_has_valid = valid.reshape(b, v, -1).sum(-1) > 0
-    trans_loss = criterion(pr_pose_trans_n, gt_pose_trans_n)
-    losses["pose_quats"] = {"loss": quats_loss * w4, "mask": None, "type": "view"}
-    losses["pose_trans"] = {
-        "loss": trans_loss * w5,
-        "mask": view_has_valid,
-        "type": "view",
-    }
+    if cfg.compute_pairwise_relative_pose_loss:
+        # Exhaustive pairwise relative poses (losses.py:3560-3650): for each
+        # ordered pair (i, j), pose_j expressed in pose_i's frame, for both
+        # prediction and GT; quats handle the double cover; trans masked by
+        # both views having valid pixels.
+        def pairwise(quats, trans):
+            qi = jnp.broadcast_to(quats[:, :, None], (b, v, v, 4)).reshape(-1, 4)
+            ti = jnp.broadcast_to(trans[:, :, None], (b, v, v, 3)).reshape(-1, 3)
+            qj = jnp.broadcast_to(quats[:, None, :], (b, v, v, 4)).reshape(-1, 4)
+            tj = jnp.broadcast_to(trans[:, None, :], (b, v, v, 3)).reshape(-1, 3)
+            rq, rt = transform_pose_using_quats_and_trans_2_to_1(qi, ti, qj, tj)
+            return rq.reshape(b, v, v, 4), rt.reshape(b, v, v, 3)
+
+        pr_rq, pr_rt = pairwise(pr_pose_quats, pr_pose_trans_n)
+        gt_rq, gt_rt = pairwise(gt_pose_quats, gt_pose_trans_n)
+        off_diag = ~jnp.eye(v, dtype=bool)[None]  # (1, V, V)
+        quats_loss = jnp.minimum(
+            criterion(pr_rq, gt_rq), criterion(pr_rq, -gt_rq)
+        )
+        trans_loss = criterion(pr_rt, gt_rt)
+        pair_valid = (
+            view_has_valid[:, :, None] & view_has_valid[:, None, :] & off_diag
+        )
+        losses["pose_quats"] = {
+            "loss": quats_loss * w4,
+            "mask": jnp.broadcast_to(off_diag, (b, v, v)),
+            "type": "view",
+        }
+        losses["pose_trans"] = {
+            "loss": trans_loss * w5,
+            "mask": pair_valid,
+            "type": "view",
+        }
+    else:
+        # per-view pose losses; quats handle the double cover (losses.py:3669)
+        quats_loss = jnp.minimum(
+            criterion(pr_pose_quats, gt_pose_quats),
+            criterion(pr_pose_quats, -gt_pose_quats),
+        )
+        # trans masked by views that have any valid pixel (losses.py:3297)
+        trans_loss = criterion(pr_pose_trans_n, gt_pose_trans_n)
+        losses["pose_quats"] = {"loss": quats_loss * w4, "mask": None,
+                                "type": "view"}
+        losses["pose_trans"] = {
+            "loss": trans_loss * w5,
+            "mask": view_has_valid,
+            "type": "view",
+        }
     losses["scale"] = {
         "loss": criterion(pr_scale_l, gt_scale_l) * w6,
         "mask": scale_valid,

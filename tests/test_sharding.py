@@ -1,0 +1,110 @@
+"""Mesh/sharding correctness: TP and DP shardings must not change numerics."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.data.synthetic import make_synthetic_batch
+from mapanything_tpu.models import (
+    GeometricInputConfig,
+    MapAnything,
+    MapAnythingConfig,
+)
+from mapanything_tpu.parallel import make_mesh, shard_batch, shard_params
+from mapanything_tpu.parallel.distributed import (
+    all_reduce_mean,
+    barrier,
+    init_distributed,
+    is_main_process,
+)
+from mapanything_tpu.train import OptimConfig, create_train_state, make_train_step
+
+TINY = MapAnythingConfig(
+    encoder_size="small", trunk_dim=384, trunk_depth=2, trunk_num_heads=6,
+    trunk_indices=(0, 1), dpt_feature_dim=32, dtype=jnp.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = MapAnything(cfg=TINY)
+    batch = make_synthetic_batch(batch_size=4, num_views=2, height=28, width=28)
+    geom = GeometricInputConfig()
+    params = model.init(jax.random.PRNGKey(0), batch["views"], geom)
+    return model, batch, geom, params
+
+
+def _one_step(model, params, batch, geom, mesh=None):
+    if mesh is not None:
+        params = shard_params(params, mesh)
+        batch = shard_batch(batch, mesh)
+    state = create_train_state(model, params,
+                               OptimConfig(warmup_steps=1, total_steps=10))
+    step = jax.jit(make_train_step(model, geom))
+    _, metrics = step(state, batch, jax.random.PRNGKey(1))
+    return float(metrics["loss"]), float(metrics["grad_norm"])
+
+
+class TestShardingNumerics:
+    def test_requires_8_devices(self):
+        assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+
+    def test_dp_tp_matches_single_device(self, setup):
+        model, batch, geom, params = setup
+        loss_ref, gn_ref = _one_step(model, params, batch, geom, mesh=None)
+        for n_data, n_model in [(4, 1), (4, 2), (2, 4)]:
+            mesh = make_mesh(n_data=n_data, n_model=n_model,
+                             devices=jax.devices()[: n_data * n_model])
+            loss, gn = _one_step(model, params, batch, geom, mesh=mesh)
+            np.testing.assert_allclose(loss, loss_ref, rtol=1e-4,
+                                       err_msg=f"mesh {n_data}x{n_model}")
+            np.testing.assert_allclose(gn, gn_ref, rtol=1e-3)
+
+    def test_param_sharding_rules(self, setup):
+        model, batch, geom, params = setup
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded = shard_params(params, mesh)
+        flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+        found_sharded = 0
+        for kp, val in flat:
+            path = "/".join(getattr(k, "key", str(k)) for k in kp)
+            spec = val.sharding.spec if hasattr(val.sharding, "spec") else None
+            if "qkv/kernel" in path and spec is not None:
+                if tuple(spec) and spec[-1] == "model":
+                    found_sharded += 1
+        assert found_sharded > 0, "no qkv kernels were TP-sharded"
+
+
+class TestDistributedHelpers:
+    def test_single_process_degrade(self):
+        info = init_distributed()  # no coordinator -> local mode
+        assert info["num_processes"] == 1
+        assert is_main_process()
+        assert all_reduce_mean(3.5) == 3.5
+        barrier()  # no-op
+
+
+class TestPairwisePoseLoss:
+    def test_pairwise_variant(self):
+        from mapanything_tpu.train.losses import (
+            FactoredGeometryConfig,
+            factored_geometry_scale_regr3d,
+        )
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_losses import perfect_preds
+
+        batch = make_synthetic_batch(1, 3, 14, 14, seed=11)
+        gt = batch["gt"]
+        preds = perfect_preds(gt)
+        cfg = FactoredGeometryConfig(compute_pairwise_relative_pose_loss=True)
+        sets = factored_geometry_scale_regr3d(gt, preds, cfg=cfg)
+        for name in ("pose_quats", "pose_trans"):
+            term = sets[name]
+            m = term["mask"]
+            val = float(jnp.sum(term["loss"] * m) / jnp.clip(m.sum(), 1, None))
+            assert val < 1e-3, f"{name} pairwise loss {val} not ~0"
+        assert sets["pose_quats"]["loss"].shape == (1, 3, 3)

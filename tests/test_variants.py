@@ -71,3 +71,25 @@ class TestModularDUSt3R:
         assert out["conf"].shape == (1, 2, 32, 32)
         assert bool(jnp.isfinite(out["pts3d"]).all())
         assert np.all(np.asarray(out["conf"]) >= 1.0)
+
+
+class TestCrossTrunk:
+    def test_cross_attention_trunk(self):
+        from mapanything_tpu.nn.trunk import CrossAttentionTrunk
+
+        trunk = CrossAttentionTrunk(
+            input_embed_dim=64, dim=64, depth=2, num_heads=2, indices=(0,),
+            dtype=jnp.float32,
+        )
+        feats = jnp.ones((1, 3, 4, 4, 64)) * 0.1
+        tok = jnp.ones((1, 1, 64)) * 0.1
+        params = trunk.init(jax.random.PRNGKey(0), feats, tok)
+        final, inters, tok_out = trunk.apply(params, feats, tok)
+        assert final.shape == (1, 3, 4, 4, 64)
+        assert len(inters) == 1
+        assert tok_out.shape == (1, 1, 64)
+        # ref view (branch 0) uses separate weights from other views
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        names = {"/".join(str(k) for k in kp) for kp, _ in flat}
+        assert any("ref_layers_0" in n for n in names)
+        assert any("layers_0" in n and "ref" not in n for n in names)
