@@ -45,7 +45,9 @@ def main():
     cfg = MapAnythingConfig(dtype=jnp.bfloat16)
     model = MapAnything(cfg=cfg)
 
-    b, v, h, w = 1, 2, 518, 518
+    # B=4 pairs: the throughput-optimal batch for 2-view sets (the dense
+    # N-view protocol itself batches 2-view sets, mapa_24v.sh:11)
+    b, v, h, w = 4, 2, 518, 518
     rng = np.random.default_rng(0)
     views = {
         "img": jnp.asarray(rng.normal(size=(b, v, h, w, 3)).astype(np.float32) * 0.3)
