@@ -16,6 +16,7 @@ available.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -31,6 +32,14 @@ A100_BASELINE_VIEWS_PER_SEC = 10.0
 
 
 def main():
+    # persistent XLA compile cache: repeat bench runs skip the ~3 min compile
+    try:
+        cache_dir = os.path.expanduser("~/.cache/mapanything_tpu_xla")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+    except Exception:
+        pass
+
     from mapanything_tpu.models import (
         GeometricInputConfig,
         MapAnything,
