@@ -93,3 +93,26 @@ class TestCrossTrunk:
         names = {"/".join(str(k) for k in kp) for kp, _ in flat}
         assert any("ref_layers_0" in n for n in names)
         assert any("layers_0" in n and "ref" not in n for n in names)
+
+
+class TestCrocoEncoderModel:
+    def test_croco_encoder_variant(self):
+        cfg = MapAnythingConfig(
+            encoder_type="croco", encoder_size="base", patch_size=16,
+            trunk_dim=192, trunk_depth=2, trunk_num_heads=6,
+            trunk_indices=(0, 1), dpt_feature_dim=32, dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        from mapanything_tpu.models import images_only_config
+
+        views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.2}
+        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        out = model.apply(params, views, images_only_config())
+        assert out["pts3d"].shape == (1, 2, 32, 32, 3)
+
+    def test_unknown_encoder_rejected(self):
+        cfg = MapAnythingConfig(encoder_type="bogus")
+        model = MapAnything(cfg=cfg)
+        with pytest.raises(ValueError, match="encoder_type"):
+            model.init(jax.random.PRNGKey(0),
+                       {"img": jnp.ones((1, 2, 28, 28, 3))})
