@@ -136,6 +136,10 @@ class MapAnythingConfig:
     trunk_rope_freq: Optional[float] = None
 
     dpt_feature_dim: int = 256
+    # Scene representation family (reference adaptor_type, model.py:390-587):
+    #   "raydirs+depth+pose+confidence+mask"  (released default, 6 channels)
+    #   "campointmap+pose+confidence+mask"    (camera-frame pointmap, 5 ch)
+    scene_rep_type: str = "raydirs+depth+pose+confidence+mask"
     dense_output_dim: int = 6  # raydirs 3 + depth 1 + conf 1 + mask 1
     pose_num_resconv: int = 2
 
@@ -330,18 +334,37 @@ class MapAnything(nn.Module):
         # ------------------------------------------------------------------
         # 5. Adaptors + factored recombination (model.py:1683-1907).
         # ------------------------------------------------------------------
-        dense = dense_adaptor_raydirs_depth_conf_mask(
-            raw_dense.reshape(b, v, h, w, cfg.dense_output_dim)
-        )
+        raw5 = raw_dense.reshape(b, v, h, w, cfg.dense_output_dim)
         pose = pose_adaptor(raw_pose.reshape(b, v, 7))
         if raw_scale is not None:
             metric_scale = scale_adaptor(raw_scale)[:, 0]  # (B,)
         else:
             metric_scale = jnp.ones((b,), jnp.float32)
 
-        ray_dirs = dense["ray_directions"]
-        depth_along_ray = dense["depth_along_ray"]
-        pts3d_cam = ray_dirs * depth_along_ray
+        if cfg.scene_rep_type == "raydirs+depth+pose+confidence+mask":
+            dense = dense_adaptor_raydirs_depth_conf_mask(raw5)
+            ray_dirs = dense["ray_directions"]
+            depth_along_ray = dense["depth_along_ray"]
+            pts3d_cam = ray_dirs * depth_along_ray
+        elif cfg.scene_rep_type == "campointmap+pose+confidence+mask":
+            # direct camera-frame pointmap regression (model.py:1745-1810):
+            # dirs/depth derived by normalizing the pointmap
+            from ..nn.adaptors import confidence_adaptor, mask_adaptor
+
+            assert cfg.dense_output_dim == 5, (
+                "campointmap rep needs dense_output_dim=5 (xyz+conf+mask)"
+            )
+            pts3d_cam = raw5[..., 0:3]
+            depth_along_ray = jnp.linalg.norm(pts3d_cam, axis=-1, keepdims=True)
+            ray_dirs = pts3d_cam / jnp.clip(depth_along_ray, 1e-8, None)
+            dense = {
+                "conf": confidence_adaptor(raw5[..., 3:4]),
+                **mask_adaptor(raw5[..., 4:5]),
+            }
+        else:
+            raise ValueError(
+                f"unknown scene_rep_type {cfg.scene_rep_type!r}"
+            )
         pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
             ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
         )

@@ -116,3 +116,34 @@ class TestCrocoEncoderModel:
         with pytest.raises(ValueError, match="encoder_type"):
             model.init(jax.random.PRNGKey(0),
                        {"img": jnp.ones((1, 2, 28, 28, 3))})
+
+
+class TestSceneRepVariants:
+    def test_campointmap_rep(self):
+        from mapanything_tpu.models import images_only_config
+
+        cfg = MapAnythingConfig(
+            scene_rep_type="campointmap+pose+confidence+mask",
+            dense_output_dim=5, **tiny_overrides(),
+        )
+        model = MapAnything(cfg=cfg)
+        views = {"img": jnp.ones((B, V, H, W, 3)) * 0.2}
+        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        out = model.apply(params, views, images_only_config())
+        assert out["pts3d"].shape == (B, V, H, W, 3)
+        # factored consistency holds for derived dirs/depth
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(out["ray_directions"], axis=-1)),
+            1.0, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["ray_directions"] * out["depth_along_ray"]),
+            np.asarray(out["pts3d_cam"]), rtol=1e-4, atol=1e-5,
+        )
+
+    def test_bad_rep_rejected(self):
+        cfg = MapAnythingConfig(scene_rep_type="bogus", **tiny_overrides())
+        model = MapAnything(cfg=cfg)
+        with pytest.raises(ValueError, match="scene_rep_type"):
+            model.init(jax.random.PRNGKey(0),
+                       {"img": jnp.ones((1, 2, 28, 28, 3))})
