@@ -270,7 +270,19 @@ class MapAnything(nn.Module):
             remat=cfg.trunk_gradient_checkpointing,
             name="info_sharing",
         )
-        final, intermediates, scale_tok_out = trunk(fused.astype(cfg.dtype), tok)
+        view_indices = None
+        if cfg.use_view_pe and rng is not None:
+            # randomized non-ref view indices at train time
+            # (aat_ifr_24_layers_w_view_pe.yaml use_rand_idx_pe_for_non_ref)
+            idx_rng = jax.random.fold_in(rng, 101)
+            rand_idx = jax.random.randint(
+                idx_rng, (b, v), 1, trunk.max_views_for_pe
+            )
+            view_indices = rand_idx.at[:, 0].set(0)
+
+        final, intermediates, scale_tok_out = trunk(
+            fused.astype(cfg.dtype), tok, view_indices=view_indices
+        )
 
         # ------------------------------------------------------------------
         # 4. Heads in fp32 (model.py:1599-1617). DPT hooks: [encoder, IFR

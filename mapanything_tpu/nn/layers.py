@@ -70,6 +70,11 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    # Entropy-invariant logit scaling for sequence lengths beyond training
+    # (info_sharing *_escaling.yaml "use_entropy_scaling"): logits scale by
+    # log(N)/log(base) when N > base, keeping attention entropy stable as
+    # the token count (views x patches) grows past the training context.
+    entropy_scaling_base: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
@@ -87,6 +92,10 @@ class Attention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
+        if self.entropy_scaling_base is not None and n > self.entropy_scaling_base:
+            import math
+
+            q = q * (math.log(n) / math.log(self.entropy_scaling_base))
         out = sdpa(q, k, v, impl=self.attn_impl)
         out = out.reshape(b, n, self.dim)
         return nn.Dense(
@@ -106,6 +115,7 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
+    entropy_scaling_base: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
@@ -115,7 +125,8 @@ class Block(nn.Module):
         h = ln("norm1")(x).astype(self.dtype)
         h = Attention(
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
-            param_dtype=self.param_dtype, attn_impl=self.attn_impl, name="attn",
+            param_dtype=self.param_dtype, attn_impl=self.attn_impl,
+            entropy_scaling_base=self.entropy_scaling_base, name="attn",
         )(h, rope=rope)
         if self.layerscale_init is not None:
             h = LayerScale(self.dim, self.layerscale_init,

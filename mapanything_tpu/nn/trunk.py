@@ -60,6 +60,10 @@ class AlternatingAttentionTrunk(nn.Module):
     # 2D rotary PE on frame-attention layers (ablations.py:216-234
     # "RoPE<freq>" strings); None = learned-PE-free trunk (released default)
     rope_freq: Optional[float] = None
+    # Entropy-invariant attention scaling for global layers when the token
+    # count exceeds the per-view patch count (aat_ifr_*_escaling.yaml
+    # "use_entropy_scaling"); base = patches-per-view at trace time.
+    use_entropy_scaling: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     frame_attn_impl: str = "auto"
@@ -128,6 +132,9 @@ class AlternatingAttentionTrunk(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.global_attn_impl if is_global else self.frame_attn_impl,
+                entropy_scaling_base=(
+                    p if (self.use_entropy_scaling and is_global) else None
+                ),
                 name=f"layers_{i}",
             )
             if is_global:

@@ -147,3 +147,44 @@ class TestSceneRepVariants:
         with pytest.raises(ValueError, match="scene_rep_type"):
             model.init(jax.random.PRNGKey(0),
                        {"img": jnp.ones((1, 2, 28, 28, 3))})
+
+
+class TestTrunkOptions:
+    def test_entropy_scaling_changes_many_view_output(self):
+        from mapanything_tpu.nn.trunk import AlternatingAttentionTrunk
+
+        feats = jnp.ones((1, 4, 4, 4, 64)) * 0.3
+        tok = jnp.ones((1, 1, 64)) * 0.1
+        base = AlternatingAttentionTrunk(input_embed_dim=64, dim=64, depth=2,
+                                         num_heads=2, indices=(0,),
+                                         dtype=jnp.float32)
+        scaled = AlternatingAttentionTrunk(input_embed_dim=64, dim=64, depth=2,
+                                           num_heads=2, indices=(0,),
+                                           use_entropy_scaling=True,
+                                           dtype=jnp.float32)
+        params = base.init(jax.random.PRNGKey(0), feats, tok)
+        o1 = base.apply(params, feats, tok)[0]
+        o2 = scaled.apply(params, feats, tok)[0]
+        # 4 views x 16 patches > 16-patch base -> global layers get scaled
+        assert float(jnp.abs(o1 - o2).max()) > 1e-6
+
+    def test_view_pe_randomized_in_training(self):
+        from mapanything_tpu.models import aug_training_config
+
+        cfg = MapAnythingConfig(use_view_pe=True, **tiny_overrides())
+        model = MapAnything(cfg=cfg)
+        views = {"img": jnp.ones((1, 3, H, W, 3)) * 0.2}
+        geom = aug_training_config()
+        params = model.init(jax.random.PRNGKey(0), views, geom,
+                            rng=jax.random.PRNGKey(1))
+        o1 = model.apply(params, views, geom, rng=jax.random.PRNGKey(2))
+        o2 = model.apply(params, views, geom, rng=jax.random.PRNGKey(3))
+        # different rng -> different view indices (among other dropout) ->
+        # different outputs; deterministic at inference (no rng)
+        assert float(jnp.abs(o1["pts3d"] - o2["pts3d"]).max()) > 0
+        from mapanything_tpu.models import images_only_config
+
+        i1 = model.apply(params, views, images_only_config())
+        i2 = model.apply(params, views, images_only_config())
+        np.testing.assert_array_equal(np.asarray(i1["pts3d"]),
+                                      np.asarray(i2["pts3d"]))
