@@ -58,16 +58,40 @@ def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
     return w
 
 
-def torch_bicubic_resize_matrix(src: int, dst: int, scale: Optional[float] = None) -> np.ndarray:
+def torch_bicubic_resize_matrix(src: int, dst: int, scale: Optional[float] = None,
+                                antialias: bool = False) -> np.ndarray:
     """(dst, src) matrix M with (M @ x) == torch F.interpolate(x, bicubic,
-    align_corners=False) along one axis.
+    align_corners=False[, antialias]) along one axis.
 
     If `scale` is given, uses torch's scale_factor semantics
     (src_coord = (dst_coord + 0.5)/scale - 0.5); otherwise scale = dst/src.
+    With antialias and scale < 1, the kernel support widens by 1/scale and
+    weights renormalize — torch's antialiased downsampling (needed for the
+    DINOv2 with-registers checkpoints, hub backbones.py:128
+    interpolate_antialias=True).
     """
     if scale is None:
         scale = dst / src
     mat = np.zeros((dst, src), dtype=np.float64)
+    if antialias:
+        # torch's AA path (PIL-style separable resampling, aten
+        # upsample_bicubic2d_aa): cubic kernel with a=-0.5 (NOT -0.75),
+        # center = (i+0.5)/scale, window [int(center-support+0.5),
+        # int(center+support+0.5)) clipped to range, weights normalized over
+        # the clipped window. Verified exact (1e-6) vs torch.
+        inv = 1.0 / scale
+        kscale = min(scale, 1.0)
+        support = 2.0 / kscale
+        for i in range(dst):
+            center = (i + 0.5) * inv
+            lo = max(int(center - support + 0.5), 0)
+            hi = min(int(center + support + 0.5), src)
+            idx = np.arange(lo, hi)
+            w = _cubic_kernel((idx - center + 0.5) * kscale, a=-0.5)
+            w = w / max(w.sum(), 1e-12)
+            for j, ww in zip(idx, w):
+                mat[i, j] += ww
+        return mat.astype(np.float32)
     for i in range(dst):
         s = (i + 0.5) / scale - 0.5
         s_floor = math.floor(s)
@@ -85,6 +109,7 @@ def interpolate_pos_embed(
     src_hw: tuple[int, int],
     dst_hw: tuple[int, int],
     interpolate_offset: float = 0.1,
+    antialias: bool = False,
 ) -> jnp.ndarray:
     """Bicubic-resample (src_h*src_w, C) patch pos-embeds to (dst_h*dst_w, C).
 
@@ -104,8 +129,10 @@ def interpolate_pos_embed(
     # sx from w0 and sy from h0 and then asserts (w0, h0) == out.shape[-2:],
     # i.e. rows are w and cols are h there. We keep (h, w) layout and apply
     # the same offset semantics per axis.
-    mh = torch_bicubic_resize_matrix(sh, dh, (dh + interpolate_offset) / sh)
-    mw = torch_bicubic_resize_matrix(sw, dw, (dw + interpolate_offset) / sw)
+    mh = torch_bicubic_resize_matrix(sh, dh, (dh + interpolate_offset) / sh,
+                                     antialias=antialias)
+    mw = torch_bicubic_resize_matrix(sw, dw, (dw + interpolate_offset) / sw,
+                                     antialias=antialias)
     out = jnp.einsum("ij,jkc->ikc", jnp.asarray(mh), grid, precision="highest")
     out = jnp.einsum("kj,ijc->ikc", jnp.asarray(mw), out, precision="highest")
     return out.reshape(dh * dw, c)
@@ -125,6 +152,9 @@ class DinoViT(nn.Module):
     num_register_tokens: int = 0
     layerscale_init: Optional[float] = 1.0
     interpolate_offset: float = 0.1
+    # with-registers hub checkpoints use antialiased pos-embed interpolation
+    # (hub backbones.py:128)
+    interpolate_antialias: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
@@ -165,7 +195,8 @@ class DinoViT(nn.Module):
         )
         cls_pos = pos_embed[:1]
         patch_pos = interpolate_pos_embed(
-            pos_embed[1:], (m, m), (gh, gw), self.interpolate_offset
+            pos_embed[1:], (m, m), (gh, gw), self.interpolate_offset,
+            antialias=self.interpolate_antialias,
         )
 
         x = x + patch_pos[None].astype(self.dtype)

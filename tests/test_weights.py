@@ -99,3 +99,44 @@ class TestDinov2Conversion:
     def test_inspect_state_dict(self, torch_vit):
         groups = inspect_state_dict(torch_vit.state_dict(), depth=1)
         assert "blocks" in groups and "pos_embed" in groups
+
+
+class TestRegistersVariant:
+    def test_with_registers_parity(self):
+        """DINOv2-with-registers (4 registers + antialiased pos-embed
+        interpolation, hub backbones.py:127-128) converts and matches."""
+        import sys as _sys
+        import types as _types
+
+        for pkg, path in [
+            ("mapanything", "/root/reference/mapanything"),
+            ("mapanything.models", "/root/reference/mapanything/models"),
+            ("mapanything.models.external",
+             "/root/reference/mapanything/models/external"),
+        ]:
+            if pkg not in _sys.modules:
+                m = _types.ModuleType(pkg)
+                m.__path__ = [path]
+                _sys.modules[pkg] = m
+        from mapanything.models.external.dinov2.models.vision_transformer import (
+            vit_small,
+        )
+
+        tm = vit_small(patch_size=14, init_values=1.0, img_size=518,
+                       block_chunks=0, num_register_tokens=4,
+                       interpolate_antialias=True)
+        tm.eval()
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 3, 56, 84)).astype(np.float32) * 0.4
+        with torch.no_grad():
+            ref = tm.forward_features(torch.from_numpy(x))[
+                "x_norm_patchtokens"
+            ].numpy()
+        params, used = convert_dinov2(tm.state_dict())
+        assert "register_tokens" in params
+        model = DinoViT(size="small", patch_size=14, num_register_tokens=4,
+                        interpolate_antialias=True, dtype=jnp.float32)
+        out = model.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+        out = np.asarray(out).reshape(ref.shape)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
