@@ -120,3 +120,23 @@ class TestLoadImages:
         views = validate_input_views_for_inference(views)
         batched = stack_views(preprocess_input_views_for_inference(views))
         assert batched["img"].shape == (1, 2, 392, 518, 3)
+
+
+class TestBucketCoverage:
+    def test_all_518_buckets_produce_patchable_shapes(self):
+        """Every bucket is divisible by 14 -> one jit entry per bucket."""
+        for (w, h) in RESOLUTION_MAPPINGS[518].values():
+            assert w % 14 == 0 and h % 14 == 0
+
+    def test_512_set_flow(self):
+        im = _img(1024, 512, seed=3)
+        views = preprocess_inputs([{"img": np.asarray(im)}], resolution_set=512)
+        assert views[0]["img"].shape == (1, 256, 512, 3)  # 2:1 bucket
+
+    def test_mixed_aspect_ratios_share_one_bucket(self):
+        # wildly different ARs still collapse to a single common bucket so
+        # the stacked (B, V, ...) batch is one static shape
+        ims = [_img(1000, 500, seed=1), _img(500, 1000, seed=2)]
+        views = preprocess_inputs([{"img": np.asarray(i)} for i in ims])
+        shapes = {v["img"].shape for v in views}
+        assert len(shapes) == 1
