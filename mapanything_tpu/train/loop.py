@@ -211,6 +211,23 @@ def train_one_epoch(model, state, train_step, loader, epoch, loop_cfg, rng,
     loader.set_epoch(epoch)
     n_steps = 0
 
+    # The explosion tripwire runs EVERY iteration (reference training.py:
+    # 480-509) but fetches the loss one step late: the host check of step i
+    # happens after step i+1 has been dispatched, so the device pipeline is
+    # never stalled and at most ONE step trains on a post-explosion state.
+    pending = None  # (metrics, host_batch, iter_idx, n_views)
+
+    def _check(metrics_i, batch_i, idx, n_views_i):
+        loss_i = float(metrics_i["loss"])  # host fetch = completion barrier
+        if not np.isfinite(loss_i) or loss_i > loop_cfg.loss_explosion_thresh:
+            _dump_explosion(loop_cfg.output_dir, batch_i, state, loss_i,
+                            epoch, idx)
+        if idx % loop_cfg.print_freq == 0:
+            logger.update(
+                loss=loss_i, grad_norm=float(metrics_i["grad_norm"]),
+                n_views=n_views_i,
+            )
+
     for i, batch in logger.log_every(loader, loop_cfg.print_freq,
                                      header=f"Epoch [{epoch}]"):
         jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
@@ -218,16 +235,13 @@ def train_one_epoch(model, state, train_step, loader, epoch, loop_cfg, rng,
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, jbatch, step_rng)
 
-        if i % loop_cfg.print_freq == 0:
-            # host fetch — also the completion barrier
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss) or loss > loop_cfg.loss_explosion_thresh:
-                _dump_explosion(loop_cfg.output_dir, batch, state, loss, epoch, i)
-            logger.update(
-                loss=loss, grad_norm=float(metrics["grad_norm"]),
-                n_views=n_views,
-            )
+        if pending is not None:
+            _check(*pending)
+        pending = (metrics, batch, i, n_views)
         n_steps += 1
+
+    if pending is not None:
+        _check(*pending)
 
     with open(log_path, "a") as f:
         f.write(json.dumps({

@@ -81,7 +81,6 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
 
     def adamw(scale: float):
         return optax.chain(
-            optax.clip_by_global_norm(cfg.grad_clip),
             optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2),
             optax.add_decayed_weights(cfg.weight_decay),
             optax.scale_by_learning_rate(
@@ -92,8 +91,15 @@ def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     labels = jax.tree_util.tree_map_with_path(
         lambda path, _: _group_label(path), params
     )
-    tx = optax.multi_transform(
-        {"encoder": adamw(cfg.encoder_lr_scale), "rest": adamw(1.0)}, labels
+    # One GLOBAL clip across all parameter groups, ahead of the per-group
+    # transforms — the reference clips a single combined norm to 1.0
+    # (training.py:515-525, train_tools.py:406-466); clipping per group
+    # would allow a combined norm of up to sqrt(n_groups).
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.multi_transform(
+            {"encoder": adamw(cfg.encoder_lr_scale), "rest": adamw(1.0)}, labels
+        ),
     )
     if cfg.accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.accum_steps)
