@@ -136,6 +136,11 @@ class MapAnythingConfig:
     trunk_rope_freq: Optional[float] = None
 
     dpt_feature_dim: int = 256
+    # Regression-tail hidden widths and pyramid widths; derivable from a
+    # checkpoint's shapes via utils/weights.infer_model_config (the
+    # VGGT-lineage tail uses (128, 32)).
+    dpt_hidden_dims: tuple = (128, 64)
+    dpt_out_channels: tuple = (256, 512, 1024, 1024)
     # Scene representation family (reference adaptor_type, model.py:390-587):
     #   "raydirs+depth+pose+confidence+mask"  (released default, 6 channels)
     #   "campointmap+pose+confidence+mask"    (camera-frame pointmap, 5 ch)
@@ -164,6 +169,7 @@ class _DenseHead(nn.Module):
             input_feature_dims=(1024, self.cfg.trunk_dim, self.cfg.trunk_dim,
                                 self.cfg.trunk_dim),
             feature_dim=self.cfg.dpt_feature_dim,
+            out_channels=tuple(self.cfg.dpt_out_channels),
             dtype=jnp.float32,  # heads run fp32 (autocast-off island)
             param_dtype=self.param_dtype,
             name="dpt_feature",
@@ -171,6 +177,7 @@ class _DenseHead(nn.Module):
         out = DPTRegressionProcessor(
             input_feature_dim=self.cfg.dpt_feature_dim,
             output_dim=self.cfg.dense_output_dim,
+            hidden_dims=tuple(self.cfg.dpt_hidden_dims),
             dtype=jnp.float32,
             param_dtype=self.param_dtype,
             name="dpt_regressor",
@@ -292,7 +299,11 @@ class MapAnything(nn.Module):
         # Hooks stay bf16 at the (B*V) batch — the fp32 upcast happens inside
         # the dense head per chunk, otherwise 4 full-resolution fp32 copies
         # (2.2 GB at 100 views) blow HBM before chunking can help.
-        hooks = [enc_feats] + intermediates + [final]
+        # Hook 0 is the FUSED+normed encoder features, not the raw encoder
+        # output: the reference reassigns all_encoder_features_across_views
+        # to the fusion result and the DPT consumes that (model.py:1517-1521,
+        # 1556-1560).
+        hooks = [fused.astype(cfg.dtype)] + intermediates + [final]
         hooks = [x.reshape(b * v, gh, gw, x.shape[-1]) for x in hooks]
 
         dense_head = _DenseHead(cfg, param_dtype=self.param_dtype,

@@ -22,19 +22,27 @@ from ..ops.resize import bilinear_resize
 
 
 class ResidualConvUnit(nn.Module):
+    """relu -> conv -> relu -> conv with a skip connection.
+
+    NOTE the skip adds relu(x), not x: the torch DPT lineage (MiDaS, vendored
+    VGGT dpt_head.py:430-485) applies nn.ReLU(inplace=True) to the input,
+    which mutates the tensor the later skip_add reads — so the reference's
+    effective math is `conv_path + relu(x)`. Weight compatibility requires
+    reproducing that exactly."""
+
     features: int
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        out = nn.relu(x)
+        act = nn.relu(x)
         out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
-                      param_dtype=self.param_dtype, name="conv1")(out)
+                      param_dtype=self.param_dtype, name="conv1")(act)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=1, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="conv2")(out)
-        return out + x
+        return out + act
 
 
 class FeatureFusionBlock(nn.Module):
@@ -75,12 +83,22 @@ class DPTFeature(nn.Module):
     input_feature_dims: Sequence[int] = (1024, 1024, 1024, 1024)
     feature_dim: int = 256
     out_channels: Sequence[int] = (256, 512, 1024, 1024)
+    # Optional shared LayerNorm on the incoming tokens (VGGT-style heads,
+    # external/vggt/heads/dpt_head.py:65 — requires equal hook dims).
+    # MapAnything hooks arrive pre-normalized (trunk norm_intermediate /
+    # final norm), so the released config keeps this off.
+    use_input_norm: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, hooks: Sequence[jnp.ndarray]) -> jnp.ndarray:
         assert len(hooks) == 4
+        if self.use_input_norm:
+            norm = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                param_dtype=self.param_dtype,
+                                name="input_norm")
+            hooks = [norm(h) for h in hooks]
         gh, gw = hooks[0].shape[-3], hooks[0].shape[-2]
 
         # Per-hook 1x1 projection to pyramid widths.
@@ -92,10 +110,14 @@ class DPTFeature(nn.Module):
             )
 
         # Resize to strides [x4, x2, x1, /2] of the patch grid.
+        # padding="VALID" == torch ConvTranspose2d(padding=0); flax defaults
+        # to SAME, which shifts the taps even when kernel == stride.
         l0 = nn.ConvTranspose(self.out_channels[0], (4, 4), strides=(4, 4),
+                              padding="VALID",
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               name="resize_0")(levels[0])
         l1 = nn.ConvTranspose(self.out_channels[1], (2, 2), strides=(2, 2),
+                              padding="VALID",
                               dtype=self.dtype, param_dtype=self.param_dtype,
                               name="resize_1")(levels[1])
         l2 = levels[2]

@@ -136,37 +136,464 @@ def strip_prefix(sd: Mapping[str, Any], prefix: str) -> Dict[str, Any]:
     return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
 
 
-def convert_mapanything_checkpoint(sd: Mapping[str, Any]) -> Dict[str, Any]:
-    """Best-effort full MapAnything checkpoint conversion.
+# ---------------------------------------------------------------------------
+# Full-model conversion (reference model.py:590-620 _load_pretrained_weights /
+# scripts/convert_hf_to_benchmark_checkpoint.py:82-100).
+#
+# Top-level key prefixes are pinned by the reference MapAnything attribute
+# names (model.py:157-196,280-388): encoder, ray_dirs_encoder, depth_encoder,
+# depth_scale_encoder, cam_rot_encoder, cam_trans_encoder,
+# cam_trans_scale_encoder, fusion_norm_layer, scale_token, info_sharing,
+# dpt_feature_head, dpt_regressor_head, pose_head, scale_head — plus
+# dense_head.{0,1} DUPLICATES of the two DPT submodules (model.py:378 wraps
+# the same module objects in an nn.Sequential, so torch registers them twice).
+#
+# Submodule-internal names are not all pinned offline (UniCeption is a
+# separate pip package); the rules below accept the naming families of the
+# in-repo concrete specs — torch-hub DINOv2 for the encoder (exact),
+# vendored VGGT for the DPT pyramid and timm-style blocks for the trunk
+# (external/vggt/heads/dpt_head.py:60-150, models/aggregator.py:85-117) —
+# and common variants (nn.Sequential indices vs named Linears). Anything
+# unmatched is reported, never dropped silently.
+# ---------------------------------------------------------------------------
 
-    The encoder sub-tree is exact (DINOv2 layout). Trunk/head sub-trees
-    follow the UniCeption module naming as far as it is pinned by the
-    reference configs; keys that do not match any rule are collected and
-    reported in the returned '_unconverted' entry so the mapping can be
-    completed against a real checkpoint (not downloadable in this offline
-    environment — SURVEY.md §7.3 'weight compatibility' risk).
+
+class _SubDict:
+    """View over sd restricted to one prefix, tracking consumed keys."""
+
+    def __init__(self, sd: Mapping[str, Any], prefix: str):
+        self.prefix = prefix
+        self.d = {
+            k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)
+        }
+        self.used: set = set()
+
+    def __contains__(self, k):
+        return k in self.d
+
+    def keys(self):
+        return self.d.keys()
+
+    def take(self, k):
+        self.used.add(k)
+        return self.d[k]
+
+    def first(self, *names):
+        """Return the first present bare key (or None)."""
+        for n in names:
+            if n in self.d:
+                return n
+        return None
+
+    def first_mod(self, *names, probe: str = ".weight"):
+        """Return the first name that is a module base (has `<name>.weight`)."""
+        for n in names:
+            if n + probe in self.d:
+                return n
+        return None
+
+    def leftovers(self):
+        return [self.prefix + k for k in self.d if k not in self.used]
+
+
+def _linear_from(sub: _SubDict, base: str) -> Dict[str, np.ndarray]:
+    w = sub.take(base + ".weight")
+    b = sub.take(base + ".bias") if base + ".bias" in sub else None
+    return linear(w, b)
+
+
+def _conv_from(sub: _SubDict, base: str) -> Dict[str, np.ndarray]:
+    w = sub.take(base + ".weight")
+    b = sub.take(base + ".bias") if base + ".bias" in sub else None
+    return conv(w, b)
+
+
+def _convt_from(sub: _SubDict, base: str) -> Dict[str, np.ndarray]:
+    w = sub.take(base + ".weight")
+    b = sub.take(base + ".bias") if base + ".bias" in sub else None
+    return conv_transpose(w, b)
+
+
+def _ln_from(sub: _SubDict, base: str) -> Dict[str, np.ndarray]:
+    return layer_norm(sub.take(base + ".weight"), sub.take(base + ".bias"))
+
+
+def convert_dense_rep_encoder(sub: _SubDict) -> Dict[str, Any]:
+    """UniCeption dense_rep_encoder (conv patchify) -> DenseRepEncoder."""
+    base = sub.first_mod("proj", "patch_embed.proj", "conv")
+    if base is None:
+        return {}
+    return {"proj": _conv_from(sub, base)}
+
+
+def convert_global_rep_encoder(sub: _SubDict) -> Dict[str, Any]:
+    """UniCeption global_rep_encoder (MLP) -> GlobalRepEncoder."""
+    out: Dict[str, Any] = {}
+    f1 = sub.first_mod("fc1", "mlp.0", "mlp.fc1", "0")
+    f2 = sub.first_mod("fc2", "mlp.2", "mlp.fc2", "2")
+    if f1 is not None:
+        out["fc1"] = _linear_from(sub, f1)
+    if f2 is not None:
+        out["fc2"] = _linear_from(sub, f2)
+    return out
+
+
+def _convert_block(sub: _SubDict, base: str) -> Dict[str, Any]:
+    """timm/DINOv2-style transformer block -> nn/layers.py Block params."""
+    blk: Dict[str, Any] = {
+        "norm1": _ln_from(sub, base + ".norm1"),
+        "attn": {
+            "qkv": _linear_from(sub, base + ".attn.qkv"),
+            "proj": _linear_from(sub, base + ".attn.proj"),
+        },
+        "norm2": _ln_from(sub, base + ".norm2"),
+        "mlp": {
+            "fc1": _linear_from(sub, base + ".mlp.fc1"),
+            "fc2": _linear_from(sub, base + ".mlp.fc2"),
+        },
+    }
+    if base + ".ls1.gamma" in sub:
+        blk["ls1"] = {"gamma": _t(sub.take(base + ".ls1.gamma"))}
+        blk["ls2"] = {"gamma": _t(sub.take(base + ".ls2.gamma"))}
+    return blk
+
+
+def convert_trunk(
+    sub: _SubDict, indices: Tuple[int, ...] = (11, 17)
+) -> Dict[str, Any]:
+    """UniCeption MultiView*AttentionTransformer[IFR] -> trunk params.
+
+    Accepts two block layouts:
+      * flat interleaved `blocks.{i}` (i covers all `depth` layers,
+        frame/global alternating) -> layers_{i};
+      * paired `frame_blocks.{j}` + `global_blocks.{j}` (vendored VGGT
+        aggregator layout, aa_order frame-first) -> layers_{2j}/layers_{2j+1}.
     """
     out: Dict[str, Any] = {}
-    unconverted = []
 
-    # Find the encoder prefix: the component that owns patch_embed.proj
+    if "proj.weight" in sub:
+        out["proj"] = _linear_from(sub, "proj")
+
+    n_flat = 0
+    while f"blocks.{n_flat}.norm1.weight" in sub:
+        n_flat += 1
+    if n_flat:
+        # Flat layout: depth counts single layers; tap i is our layer i.
+        for i in range(n_flat):
+            out[f"layers_{i}"] = _convert_block(sub, f"blocks.{i}")
+        tap_layers = list(indices)
+    else:
+        # Paired layout (VGGT counting): depth counts frame+global pairs; a
+        # tap at pair i is the output of that pair's global layer, i.e. our
+        # layer 2i+1 (SURVEY.md §2.6 depth-counting ambiguity, resolved from
+        # the checkpoint's own key structure).
+        n_pairs = 0
+        while f"frame_blocks.{n_pairs}.norm1.weight" in sub:
+            n_pairs += 1
+        for j in range(n_pairs):
+            out[f"layers_{2 * j}"] = _convert_block(sub, f"frame_blocks.{j}")
+            out[f"layers_{2 * j + 1}"] = _convert_block(sub, f"global_blocks.{j}")
+        tap_layers = [2 * i + 1 for i in indices]
+
+    # Reference-view embeddings (distinguish_ref_and_non_ref_views) — either
+    # one stacked (2, dim) parameter or two separate (dim,) parameters.
+    stacked = sub.first("ref_nonref_embed", "view_embed")
+    if stacked is not None:
+        out["ref_nonref_embed"] = _t(sub.take(stacked)).reshape(2, -1)
+    elif "ref_view_embed" in sub and "non_ref_view_embed" in sub:
+        out["ref_nonref_embed"] = np.stack(
+            [
+                _t(sub.take("ref_view_embed")).reshape(-1),
+                _t(sub.take("non_ref_view_embed")).reshape(-1),
+            ]
+        )
+
+    pe = sub.first("view_pe.weight", "view_pe", "view_pos_embed.weight")
+    if pe is not None:
+        out["view_pe"] = _t(sub.take(pe))
+
+    # IFR intermediate norms: a ModuleList indexed by tap order; our params
+    # are named by the tapped layer index.
+    for k, layer_idx in enumerate(tap_layers):
+        base = None
+        for cand in (f"norm_intermediate.{k}", f"intermediate_norms.{k}",
+                     f"adaptors.{k}.final_norm"):
+            if cand + ".weight" in sub:
+                base = cand
+                break
+        if base is not None:
+            out[f"norm_intermediate_{layer_idx}"] = _ln_from(sub, base)
+
+    if "norm.weight" in sub:
+        out["norm"] = _ln_from(sub, "norm")
+    return out
+
+
+def convert_dpt_feature(sub: _SubDict) -> Dict[str, Any]:
+    """DPT feature pyramid (vendored VGGT scratch naming,
+    external/vggt/heads/dpt_head.py:68-118) -> DPTFeature params."""
+    out: Dict[str, Any] = {}
+    if "norm.weight" in sub:  # optional input LayerNorm (VGGT dpt_head.py:65)
+        out["input_norm"] = _ln_from(sub, "norm")
+    for i in range(4):
+        base = sub.first_mod(f"projects.{i}", f"project_{i}", f"act_postprocess.{i}.0")
+        if base is not None:
+            out[f"project_{i}"] = _conv_from(sub, base)
+    # resize layers: 0/1 are ConvTranspose, 2 is identity, 3 is strided conv
+    for i, cvt in ((0, True), (1, True), (3, False)):
+        base = sub.first_mod(f"resize_layers.{i}", f"resize_{i}")
+        if base is not None:
+            out[f"resize_{i}"] = _convt_from(sub, base) if cvt else _conv_from(sub, base)
+    for i in range(4):
+        base = sub.first_mod(f"scratch.layer{i + 1}_rn", f"layer_rn_{i}",
+                             f"scratch.layer_rn.{i}")
+        if base is not None:
+            out[f"layer_rn_{i}"] = _conv_from(sub, base)
+    for k in range(1, 5):
+        base = sub.first_mod(f"scratch.refinenet{k}", f"refinenet{k}",
+                             probe=".resConfUnit2.conv1.weight")
+        if base is None:
+            continue
+        ref: Dict[str, Any] = {}
+        for unit_t, unit_o in (("resConfUnit1", "res_conv_unit1"),
+                               ("resConfUnit2", "res_conv_unit2")):
+            if f"{base}.{unit_t}.conv1.weight" in sub:
+                ref[unit_o] = {
+                    "conv1": _conv_from(sub, f"{base}.{unit_t}.conv1"),
+                    "conv2": _conv_from(sub, f"{base}.{unit_t}.conv2"),
+                }
+        if f"{base}.out_conv.weight" in sub:
+            ref["out_conv"] = _conv_from(sub, f"{base}.out_conv")
+        out[f"refinenet{k}"] = ref
+    return out
+
+
+def convert_dpt_regressor(sub: _SubDict) -> Dict[str, Any]:
+    """DPT regression tail (VGGT output_conv1/output_conv2 naming,
+    dpt_head.py:128-151) -> DPTRegressionProcessor params."""
+    out: Dict[str, Any] = {}
+    c1 = sub.first_mod("output_conv1", "conv1", "head.0")
+    c2 = sub.first_mod("output_conv2.0", "conv2", "head.2")
+    co = sub.first_mod("output_conv2.2", "conv_out", "head.4")
+    if c1 is not None:
+        out["conv1"] = _conv_from(sub, c1)
+    if c2 is not None:
+        out["conv2"] = _conv_from(sub, c2)
+    if co is not None:
+        out["conv_out"] = _conv_from(sub, co)
+    return out
+
+
+def convert_pose_head(sub: _SubDict) -> Dict[str, Any]:
+    """UniCeption PoseHead (proj conv + resconv blocks + MLP) -> PoseHead."""
+    out: Dict[str, Any] = {}
+    base = sub.first_mod("proj", "input_proj")
+    if base is not None:
+        out["proj"] = _conv_from(sub, base)
+    i = 0
+    while True:
+        base = sub.first_mod(f"res_conv_blocks.{i}", f"res_conv.{i}",
+                             f"resconv_blocks.{i}", f"res_conv_{i}",
+                             probe=".conv1.weight")
+        if base is None:
+            break
+        out[f"res_conv_{i}"] = {
+            "conv1": _conv_from(sub, f"{base}.conv1"),
+            "conv2": _conv_from(sub, f"{base}.conv2"),
+        }
+        i += 1
+    f1 = sub.first_mod("fc1", "mlp.0")
+    fo = sub.first_mod("fc_out", "fc2", "mlp.2")
+    if f1 is not None:
+        out["fc1"] = _linear_from(sub, f1)
+    if fo is not None:
+        out["fc_out"] = _linear_from(sub, fo)
+    return out
+
+
+def convert_mlp_head(sub: _SubDict) -> Dict[str, Any]:
+    """UniCeption MLPHead (scale head) -> MLPHead params."""
+    out: Dict[str, Any] = {}
+    f1 = sub.first_mod("fc1", "mlp.0")
+    f2 = sub.first_mod("fc2", "mlp.2")
+    if f1 is not None:
+        out["fc1"] = _linear_from(sub, f1)
+    if f2 is not None:
+        out["fc2"] = _linear_from(sub, f2)
+    return out
+
+
+# Our flax param-tree paths (models/mapanything.py module names).
+_DENSE_REP_ENCODERS = ("ray_dirs_encoder", "depth_encoder")
+_GLOBAL_REP_ENCODERS = (
+    "depth_scale_encoder",
+    "cam_rot_encoder",
+    "cam_trans_encoder",
+    "cam_trans_scale_encoder",
+)
+
+
+def convert_mapanything_checkpoint(
+    sd: Mapping[str, Any], trunk_indices: Tuple[int, ...] = (11, 17)
+) -> Dict[str, Any]:
+    """Full MapAnything checkpoint -> MapAnything flax params (inner tree).
+
+    Consumes every tensor of a reference-shaped state_dict; returns the
+    params with two bookkeeping entries popped by callers:
+      '_unconverted': keys no rule matched (must be [] for a supported ckpt);
+      '_aliases': keys skipped as known duplicates (dense_head.{0,1}.*
+          re-registrations of dpt_feature_head/dpt_regressor_head, and the
+          frozen DINOv2 mask_token our encoder never uses).
+    """
+    # Strip DDP/namespace wrappers.
+    for wrapper in ("module.", "model."):
+        if all(k.startswith(wrapper) for k in sd):
+            sd = {k[len(wrapper):]: v for k, v in sd.items()}
+
+    out: Dict[str, Any] = {}
+    consumed: set = set()
+    aliases = []
+
+    def run(prefix: str, fn, *args, **kw):
+        sub = _SubDict(sd, prefix)
+        if not sub.d:
+            return None
+        res = fn(sub, *args, **kw)
+        consumed.update(prefix + k for k in sub.used)
+        return res
+
+    # --- encoder (exact DINOv2 layout; prefix may nest a hub wrapper) -----
     enc_prefix = None
     for k in sd:
-        m = re.match(r"^(.*?)patch_embed\.proj\.weight$", k)
-        if m and "dense" not in m.group(1):
+        m = re.match(r"^(encoder\..*?|)patch_embed\.proj\.weight$", k)
+        if m is not None:
             enc_prefix = m.group(1)
             break
     if enc_prefix is not None:
-        out["encoder"], _ = convert_dinov2(sd, enc_prefix)
+        enc_params, _ = convert_dinov2(sd, enc_prefix)
+        out["encoder"] = enc_params
+        for k in sd:
+            if k.startswith(enc_prefix):
+                if k.endswith("mask_token"):
+                    aliases.append(k)  # frozen, unused at inference
+                else:
+                    consumed.add(k)
 
+    # --- prior encoders + fusion ------------------------------------------
+    for name in _DENSE_REP_ENCODERS:
+        res = run(f"{name}.", convert_dense_rep_encoder)
+        if res:
+            out[name] = res
+    for name in _GLOBAL_REP_ENCODERS:
+        res = run(f"{name}.", convert_global_rep_encoder)
+        if res:
+            out[name] = res
+    if "fusion_norm_layer.weight" in sd:
+        out["fusion_norm"] = layer_norm(
+            sd["fusion_norm_layer.weight"], sd["fusion_norm_layer.bias"]
+        )
+        consumed.update(("fusion_norm_layer.weight", "fusion_norm_layer.bias"))
+    if "scale_token" in sd:
+        out["scale_token"] = _t(sd["scale_token"]).reshape(-1)
+        consumed.add("scale_token")
+
+    # --- trunk ------------------------------------------------------------
+    res = run("info_sharing.", convert_trunk, indices=trunk_indices)
+    if res:
+        out["info_sharing"] = res
+
+    # --- heads --------------------------------------------------------------
+    dense_head: Dict[str, Any] = {}
+    res = run("dpt_feature_head.", convert_dpt_feature)
+    if res:
+        dense_head["dpt_feature"] = res
+    res = run("dpt_regressor_head.", convert_dpt_regressor)
+    if res:
+        dense_head["dpt_regressor"] = res
+    if dense_head:
+        out["dense_head"] = dense_head
+    res = run("pose_head.", convert_pose_head)
+    if res:
+        out["pose_head"] = res
+    res = run("scale_head.", convert_mlp_head)
+    if res:
+        out["scale_head"] = res
+
+    # dense_head.{0,1}.* are re-registrations of the same tensors
+    # (model.py:378 nn.Sequential aliasing) — consume as known duplicates.
     for k in sd:
-        if enc_prefix and k.startswith(enc_prefix):
-            continue
-        if k == "scale_token":
-            out["scale_token"] = _t(sd[k])
-            continue
-        unconverted.append(k)
+        if k.startswith("dense_head.") and k not in consumed:
+            aliases.append(k)
 
+    unconverted = [k for k in sd if k not in consumed and k not in aliases]
     if unconverted:
         out["_unconverted"] = unconverted
+    if aliases:
+        out["_aliases"] = aliases
     return out
+
+
+def infer_model_config(
+    sd: Mapping[str, Any], indices: Tuple[int, ...] = (11, 17)
+) -> Dict[str, Any]:
+    """Derive architecture dimensions from a checkpoint's tensor shapes.
+
+    Resolves the layout unknowns that cannot be pinned offline (trunk depth
+    counting, DPT hidden widths) directly from the data — the checkpoint is
+    the source of truth, not an assumption.
+    """
+    cfg: Dict[str, Any] = {}
+    for wrapper in ("module.", "model."):
+        if all(k.startswith(wrapper) for k in sd):
+            sd = {k[len(wrapper):]: v for k, v in sd.items()}
+
+    def shape(k):
+        v = sd[k]
+        return tuple(v.shape) if hasattr(v, "shape") else np.asarray(v).shape
+
+    if "scale_token" in sd:
+        cfg["enc_dim"] = int(np.prod(shape("scale_token")))
+
+    n_flat = 0
+    while f"info_sharing.blocks.{n_flat}.norm1.weight" in sd:
+        n_flat += 1
+    n_pairs = 0
+    while f"info_sharing.frame_blocks.{n_pairs}.norm1.weight" in sd:
+        n_pairs += 1
+    if n_flat:
+        cfg["trunk_depth"] = n_flat
+        cfg["trunk_dim"] = shape("info_sharing.blocks.0.norm1.weight")[0]
+        cfg["trunk_indices"] = tuple(indices)
+    elif n_pairs:
+        cfg["trunk_depth"] = 2 * n_pairs
+        cfg["trunk_dim"] = shape("info_sharing.frame_blocks.0.norm1.weight")[0]
+        cfg["trunk_indices"] = tuple(2 * i + 1 for i in indices)
+
+    for key, name in (
+        ("dpt_feature_head.scratch.layer1_rn.weight", "dpt_feature_dim"),
+    ):
+        if key in sd:
+            cfg[name] = shape(key)[0]
+    if all(f"dpt_feature_head.projects.{i}.weight" in sd for i in range(4)):
+        cfg["dpt_out_channels"] = tuple(
+            shape(f"dpt_feature_head.projects.{i}.weight")[0] for i in range(4)
+        )
+    c1 = next((k for k in ("dpt_regressor_head.output_conv1.weight",
+                           "dpt_regressor_head.conv1.weight") if k in sd), None)
+    c2 = next((k for k in ("dpt_regressor_head.output_conv2.0.weight",
+                           "dpt_regressor_head.conv2.weight") if k in sd), None)
+    co = next((k for k in ("dpt_regressor_head.output_conv2.2.weight",
+                           "dpt_regressor_head.conv_out.weight") if k in sd), None)
+    if c1 and c2:
+        cfg["dpt_hidden_dims"] = (shape(c1)[0], shape(c2)[0])
+    if co:
+        cfg["dense_output_dim"] = shape(co)[0]
+    if "pose_head.fc_out.weight" in sd:
+        cfg["pose_out_dim"] = shape("pose_head.fc_out.weight")[0]
+    n_res = 0
+    while any(f"pose_head.{fam}.{n_res}.conv1.weight" in sd
+              for fam in ("res_conv_blocks", "res_conv", "resconv_blocks")):
+        n_res += 1
+    if n_res:
+        cfg["pose_num_resconv"] = n_res
+    return cfg

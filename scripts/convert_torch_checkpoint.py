@@ -72,10 +72,19 @@ def main():
     else:
         tree = convert_mapanything_checkpoint(sd)
         unconverted = tree.pop("_unconverted", [])
+        aliases = tree.pop("_aliases", [])
+        if aliases:
+            print(f"skipped {len(aliases)} known duplicate keys "
+                  "(dense_head.* Sequential aliases / mask_token)")
         if unconverted:
             print(f"WARNING: {len(unconverted)} unmapped keys, e.g. "
                   f"{unconverted[:5]} — extend utils/weights.py mapping "
                   "rules against this checkpoint")
+        from mapanything_tpu.utils.weights import infer_model_config
+
+        inferred = infer_model_config(sd)
+        if inferred:
+            print(f"inferred architecture from shapes: {inferred}")
         tree = {"params": tree}
 
     save_params(args.output, tree)

@@ -1,0 +1,202 @@
+"""Full-model checkpoint conversion + end-to-end output parity.
+
+The acceptance test for weight compatibility (round-1 VERDICT items 2-3,
+SURVEY.md §7.3): a reference-shaped torch MapAnything state_dict (see
+tests/torch_mirror.py for why it is synthesized and how its naming is
+pinned) must be consumed COMPLETELY by convert_mapanything_checkpoint, and
+our JAX model under the converted weights must reproduce the torch forward
+outputs end to end — images-only AND with all geometric priors.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.models import (
+    GeometricInputConfig,
+    MapAnything,
+    MapAnythingConfig,
+    images_only_config,
+)
+from mapanything_tpu.utils.weights import (
+    convert_mapanything_checkpoint,
+    infer_model_config,
+)
+
+from torch_mirror import MirrorMapAnything, randomize_state_dict
+
+INDICES = (1, 2)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def high_precision():
+    jax.config.update("jax_default_matmul_precision", "highest")
+    yield
+    jax.config.update("jax_default_matmul_precision", None)
+
+
+@pytest.fixture(scope="module")
+def mirror():
+    m = MirrorMapAnything(trunk_dim=64, trunk_depth=4, trunk_heads=2,
+                          indices=INDICES, dpt_feature_dim=64)
+    randomize_state_dict(m, seed=3)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def converted(mirror):
+    sd = mirror.state_dict()
+    tree = convert_mapanything_checkpoint(sd, trunk_indices=INDICES)
+    return sd, tree
+
+
+class TestConversionCompleteness:
+    def test_all_keys_consumed(self, converted):
+        sd, tree = converted
+        assert "_unconverted" not in tree, (
+            f"unconverted keys: {tree['_unconverted'][:10]}"
+        )
+
+    def test_aliases_are_only_known_duplicates(self, converted):
+        _, tree = converted
+        for k in tree.get("_aliases", []):
+            assert k.startswith("dense_head.") or k.endswith("mask_token"), k
+
+    def test_infer_model_config(self, converted):
+        sd, _ = converted
+        cfg = infer_model_config(sd, indices=INDICES)
+        assert cfg["trunk_dim"] == 64
+        assert cfg["trunk_depth"] == 4
+        assert cfg["trunk_indices"] == INDICES
+        assert cfg["enc_dim"] == 384
+        assert cfg["dpt_feature_dim"] == 64
+        assert cfg["dpt_out_channels"] == (48, 96, 192, 384)
+        assert cfg["dpt_hidden_dims"] == (32, 16)
+        assert cfg["dense_output_dim"] == 6
+        assert cfg["pose_num_resconv"] == 2
+
+
+def _our_model(converted_tree):
+    tree = {k: v for k, v in converted_tree.items()
+            if not k.startswith("_")}
+    cfg = MapAnythingConfig(
+        encoder_size="small",
+        trunk_dim=64, trunk_depth=4, trunk_num_heads=2,
+        trunk_indices=INDICES,
+        dpt_feature_dim=64, dpt_out_channels=(48, 96, 192, 384),
+        dpt_hidden_dims=(32, 16),
+        dtype=jnp.float32,
+    )
+    return MapAnything(cfg=cfg), {"params": tree}
+
+
+def _compare(ref, ours, keys, atol=2e-4, rtol=2e-3):
+    for k in keys:
+        r = ref[k].numpy()
+        o = np.asarray(ours[k], dtype=np.float32)
+        np.testing.assert_allclose(o, r, atol=atol, rtol=rtol,
+                                   err_msg=f"output '{k}' diverged")
+
+
+class TestOutputParity:
+    B, V, H, W = 2, 3, 28, 42
+
+    def _imgs(self, seed=0):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((self.B, self.V, 3, self.H, self.W)
+                                   ).astype(np.float32) * 0.5
+
+    KEYS = ("pts3d", "pts3d_cam", "ray_directions", "depth_along_ray",
+            "cam_trans", "cam_quats", "metric_scaling_factor", "conf",
+            "non_ambiguous_mask_logits")
+
+    def test_images_only_parity(self, mirror, converted):
+        _, tree = converted
+        x = self._imgs(0)
+        with torch.no_grad():
+            ref = mirror(torch.from_numpy(x))
+
+        model, params = _our_model(tree)
+        views = {"img": jnp.asarray(x.transpose(0, 1, 3, 4, 2))}
+        ours = model.apply(params, views, images_only_config())
+        _compare(ref, ours, self.KEYS)
+
+    def test_all_priors_parity(self, mirror, converted):
+        _, tree = converted
+        rng = np.random.default_rng(7)
+        x = self._imgs(1)
+        rd = rng.standard_normal((self.B, self.V, self.H, self.W, 3)
+                                 ).astype(np.float32)
+        rd /= np.linalg.norm(rd, axis=-1, keepdims=True)
+        depth = np.abs(rng.standard_normal(
+            (self.B, self.V, self.H, self.W, 1))).astype(np.float32) + 0.5
+        quats = rng.standard_normal((self.B, self.V, 4)).astype(np.float32)
+        quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+        trans = rng.standard_normal((self.B, self.V, 3)).astype(np.float32)
+        is_metric = np.ones((self.B, self.V), dtype=bool)
+
+        with torch.no_grad():
+            ref = mirror(
+                torch.from_numpy(x), ray_dirs=torch.from_numpy(rd),
+                depth=torch.from_numpy(depth),
+                quats=torch.from_numpy(quats),
+                trans=torch.from_numpy(trans),
+                is_metric=torch.from_numpy(is_metric),
+            )
+
+        model, params = _our_model(tree)
+        views = {
+            "img": jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+            "ray_directions_cam": jnp.asarray(rd),
+            "depth_along_ray": jnp.asarray(depth),
+            "camera_pose_quats": jnp.asarray(quats),
+            "camera_pose_trans": jnp.asarray(trans),
+            "is_metric_scale": jnp.asarray(is_metric),
+        }
+        # all priors on, deterministic (infer-time knobs, model.py:1911-1954)
+        geom = GeometricInputConfig()
+        ours = model.apply(params, views, geom)
+        _compare(ref, ours, self.KEYS)
+
+
+class TestPairedTrunkLayout:
+    """A checkpoint whose trunk uses VGGT-style frame_blocks/global_blocks
+    pairs must convert to the identical param tree as its flat-interleaved
+    equivalent (SURVEY §2.6 depth-counting ambiguity)."""
+
+    def test_paired_equals_flat(self, mirror):
+        sd = mirror.state_dict()
+        paired = {}
+        for k, v in sd.items():
+            if k.startswith("info_sharing.blocks."):
+                rest = k[len("info_sharing.blocks."):]
+                i, tail = rest.split(".", 1)
+                i = int(i)
+                fam = "frame_blocks" if i % 2 == 0 else "global_blocks"
+                paired[f"info_sharing.{fam}.{i // 2}.{tail}"] = v
+            elif k.startswith("info_sharing.norm_intermediate."):
+                paired[k] = v
+            else:
+                paired[k] = v
+
+        flat_tree = convert_mapanything_checkpoint(sd, trunk_indices=INDICES)
+        # Pair counting: tap at pair i is the output of that pair's global
+        # layer (flat layer 2i+1). The mirror has two tap norms, so read them
+        # as pair taps (0, 1) -> flat layers (1, 3).
+        paired_tree = convert_mapanything_checkpoint(
+            paired, trunk_indices=(0, 1)
+        )
+        assert "_unconverted" not in paired_tree
+
+        flat_blocks = flat_tree["info_sharing"]
+        paired_blocks = paired_tree["info_sharing"]
+        for i in range(4):
+            a = flat_blocks[f"layers_{i}"]["attn"]["qkv"]["kernel"]
+            b = paired_blocks[f"layers_{i}"]["attn"]["qkv"]["kernel"]
+            np.testing.assert_array_equal(a, b)
+        assert "norm_intermediate_1" in paired_blocks
+        assert "norm_intermediate_3" in paired_blocks
