@@ -12,6 +12,7 @@ from .norm import (
     normalize_depth_using_non_zero_pixels,
     normalize_multiple_pointclouds,
     normalize_pose_translations,
+    safe_norm,
 )
 from .pointmaps import (
     angle_diff_vec3,
@@ -46,6 +47,7 @@ from .rays import (
 
 __all__ = [
     "apply_log_to_norm",
+    "safe_norm",
     "angle_diff_vec3",
     "closed_form_pose_inverse",
     "colmap_to_opencv_intrinsics",

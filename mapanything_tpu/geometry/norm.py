@@ -11,6 +11,19 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def safe_norm(x: jnp.ndarray, axis=-1, keepdims: bool = False) -> jnp.ndarray:
+    """L2 norm with a ZERO subgradient at x == 0 (torch's convention).
+
+    jnp.linalg.norm has a NaN gradient at exactly-zero vectors — which is
+    precisely what masked-out pixels are (pts * valid). Any training loss
+    normalizing masked pointclouds through it silently poisons the whole
+    gradient with NaNs; torch.norm defines the subgradient 0 there, so the
+    reference never sees this."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=keepdims)
+    zero = sq == 0
+    return jnp.where(zero, 0.0, jnp.sqrt(jnp.where(zero, 1.0, sq)))
+
+
 def normalize_depth_using_non_zero_pixels(
     depth: jnp.ndarray, return_norm_factor: bool = False
 ):
@@ -38,7 +51,7 @@ def normalize_pose_translations(
     Ref: geometry.py:1558.
     """
     assert pose_translations.shape[-1] == 3
-    dis = jnp.linalg.norm(pose_translations, axis=-1)  # (..., V)
+    dis = safe_norm(pose_translations, axis=-1)  # (..., V)
     nonzero = dis > 0
     norm_factor = jnp.sum(dis, axis=-1) / (jnp.sum(nonzero, axis=-1) + 1e-8)
     norm_factor = jnp.clip(norm_factor, 1e-8, None)
@@ -75,7 +88,7 @@ def normalize_multiple_pointclouds(
     if valid_masks is None:
         valid_masks = jnp.ones(pts.shape[:-1], dtype=bool)
     masked_pts = pts * valid_masks[..., None]
-    all_dis = jnp.linalg.norm(masked_pts, axis=-1)  # (B, V, H, W)
+    all_dis = safe_norm(masked_pts, axis=-1)  # (B, V, H, W)
 
     if dis_mode == "dis":
         pass
@@ -101,6 +114,6 @@ def normalize_multiple_pointclouds(
 
 def apply_log_to_norm(x: jnp.ndarray) -> jnp.ndarray:
     """Rescale vectors (..., C) to log1p of their norm. Ref: geometry.py:1666."""
-    d = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    d = safe_norm(x, axis=-1, keepdims=True)
     x = x / jnp.clip(d, 1e-8, None)
     return x * jnp.log1p(d)

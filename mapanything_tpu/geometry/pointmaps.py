@@ -96,7 +96,13 @@ def closed_form_pose_inverse(
 
 
 def angle_diff_vec3(v1: jnp.ndarray, v2: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """Angle between 3D vectors (..., 3) in radians. Ref: geometry.py:1692."""
-    cross_norm = jnp.linalg.norm(jnp.cross(v1, v2), axis=-1) + eps
+    """Angle between 3D vectors (..., 3) in radians. Ref: geometry.py:1692.
+
+    Uses a zero-subgradient norm: for exactly parallel vectors (e.g. a
+    prediction that is a scaled copy of the GT) the cross product is 0 and
+    jnp.linalg.norm would inject NaN into the backward pass."""
+    from .norm import safe_norm
+
+    cross_norm = safe_norm(jnp.cross(v1, v2), axis=-1) + eps
     dot = jnp.sum(v1 * v2, axis=-1)
     return jnp.arctan2(cross_norm, dot)

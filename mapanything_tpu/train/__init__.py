@@ -13,6 +13,8 @@ from .losses import (
     non_ambiguous_mask_loss,
     overall_loss,
 )
+from . import criteria
+from .criteria import MultiLoss, released_criterion
 from .step import (
     OptimConfig,
     TrainState,
@@ -27,7 +29,10 @@ __all__ = [
     "FactoredGeometryConfig",
     "L1Loss",
     "L2Loss",
+    "MultiLoss",
     "OptimConfig",
+    "criteria",
+    "released_criterion",
     "OverallLossConfig",
     "RobustRegressionLoss",
     "TrainState",

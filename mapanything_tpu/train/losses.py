@@ -533,36 +533,53 @@ def overall_loss(
     preds: Dict[str, jnp.ndarray],
     cfg: OverallLossConfig = OverallLossConfig(),
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """configs/loss/overall_loss.yaml train_criterion (without the optional
-    normal/GM term — see normal_gm_loss) + 2/n_views scaling
-    (training.py:474-477)."""
-    criterion = RobustRegressionLoss(cfg.criterion_alpha, cfg.criterion_scaling_c)
-    loss_sets, aux = factored_geometry_scale_regr3d(
-        gt, preds, criterion, cfg.factored, return_normalized=True
-    )
-    total, details = conf_and_exclude_top_n_loss(
-        loss_sets,
-        preds["conf"],
-        conf_alpha=cfg.conf_alpha,
-        top_n_percent=cfg.top_n_percent,
-        is_synthetic=gt.get("is_synthetic"),
-    )
-    mask_term = cfg.mask_loss_weight * non_ambiguous_mask_loss(
-        preds["non_ambiguous_mask_logits"], gt["non_ambiguous_mask"]
-    )
-    details["mask_bce_loss"] = mask_term
-    total = total + mask_term
+    """configs/loss/overall_loss.yaml train_criterion + 2/n_views scaling
+    (training.py:474-477), expressed through the composable criteria API
+    (train/criteria.py) — golden-tested against the importable reference in
+    tests/test_criteria.py."""
+    from . import criteria as C  # deferred: criteria imports helpers above
 
+    fc = cfg.factored
+    w = fc.weights
+    crit = C.RobustRegressionLoss(cfg.criterion_alpha, cfg.criterion_scaling_c)
+    kw = dict(
+        norm_predictions=fc.norm_predictions,
+        norm_mode=fc.norm_mode,
+        loss_in_log=fc.loss_in_log,
+        flatten_across_image_only=True,
+        depth_type_for_loss=fc.depth_type_for_loss,
+        compute_world_frame_points_loss=fc.compute_world_frame_points_loss,
+        compute_pairwise_relative_pose_loss=(
+            fc.compute_pairwise_relative_pose_loss
+        ),
+        world_frame_points_loss_weight=w[0],
+        cam_frame_points_loss_weight=w[1],
+        depth_loss_weight=w[2],
+        ray_directions_loss_weight=w[3],
+        pose_quats_loss_weight=w[4],
+        pose_trans_loss_weight=w[5],
+        scale_loss_weight=w[6],
+    )
     if cfg.use_normal_gm:
-        ngm_total, ngm_details = normal_gm_loss(
-            aux["pr_pts_cam_n"], aux["gt_pts_cam_n"], gt["valid_mask"],
-            gt.get("is_synthetic"),
+        pixel = C.FactoredGeometryScaleRegr3DPlusNormalGMLoss(
+            crit,
+            apply_normal_and_gm_loss_to_synthetic_data_only=True,
             normal_loss_weight=cfg.normal_loss_weight,
             gm_loss_weight=cfg.gm_loss_weight,
+            **kw,
         )
-        details.update(ngm_details)
-        total = total + ngm_total
+    else:
+        pixel = C.FactoredGeometryScaleRegr3D(crit, **kw)
+    criterion = C.ConfAndExcludeTopNPercentPixelLoss(
+        pixel,
+        conf_alpha=cfg.conf_alpha,
+        top_n_percent=cfg.top_n_percent,
+        apply_to_real_data_only=True,
+        conf_loss_set_indices=[0],
+        exclude_loss_set_indices=[1, 2],
+    ) + cfg.mask_loss_weight * C.NonAmbiguousMaskLoss(C.BCELoss())
 
+    total, details = criterion(gt, preds)
     n_views = gt["pts3d"].shape[1]
     if n_views > 2:
         total = total * (2.0 / n_views)

@@ -236,5 +236,8 @@ class TestNormalGM:
         preds = dict(preds)
         preds["pts3d_cam"] = preds["pts3d_cam"] * 1.2
         total, details = overall_loss(gt, preds)
-        assert "normal_loss" in details and "gm_loss" in details
-        assert float(details["gm_loss"]) > 0
+        normal_keys = [k for k in details if "_normal_" in k]
+        gm_keys = [k for k in details if "_gradient_matching_" in k]
+        assert normal_keys and gm_keys
+        gm_avg = [k for k in gm_keys if k.endswith("_avg")]
+        assert float(details[gm_avg[0]]) > 0
