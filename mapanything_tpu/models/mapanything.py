@@ -126,6 +126,11 @@ class MapAnythingConfig:
     trunk_depth: int = 24
     trunk_num_heads: int = 16
     trunk_indices: tuple = (11, 17)
+    # Info-sharing family (reference info_sharing_type, model.py:224-305 /
+    # configs/model/info_sharing/*.yaml): "alternating" (released, VGGT-
+    # style), "global" (every layer attends across all views), "cross"
+    # (DUSt3R-style two-branch cross-attention, cat_ifr_dust3r.yaml).
+    info_sharing_type: str = "alternating"
     distinguish_ref_and_non_ref_views: bool = True
     use_view_pe: bool = False
     trunk_gradient_checkpointing: bool = False
@@ -263,7 +268,18 @@ class MapAnything(nn.Module):
         else:  # ablation: no metric-scale token (MapAnythingAblations)
             tok = jnp.zeros((b, 0, enc_dim), dtype=fused.dtype)
 
-        trunk = AlternatingAttentionTrunk(
+        if cfg.info_sharing_type == "alternating":
+            trunk_cls = AlternatingAttentionTrunk
+        elif cfg.info_sharing_type == "global":
+            from ..nn.trunk import GlobalAttentionTrunk as trunk_cls
+        elif cfg.info_sharing_type == "cross":
+            from ..nn.trunk import CrossAttentionTrunk as trunk_cls
+        else:
+            raise ValueError(
+                f"unknown info_sharing_type {cfg.info_sharing_type!r}; "
+                "options: 'alternating', 'global', 'cross'"
+            )
+        trunk = trunk_cls(
             input_embed_dim=enc_dim,
             dim=cfg.trunk_dim,
             depth=cfg.trunk_depth,

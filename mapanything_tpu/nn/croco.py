@@ -56,7 +56,12 @@ class CrossAttention(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         b, n, _ = x.shape
         m = context.shape[1]
         hd = self.dim // self.num_heads
@@ -66,7 +71,8 @@ class CrossAttention(nn.Module):
                       param_dtype=self.param_dtype, name="kv")(context)
         q = q.reshape(b, n, self.num_heads, hd)
         kv = kv.reshape(b, m, 2, self.num_heads, hd)
-        out = sdpa(q, kv[:, :, 0], kv[:, :, 1], impl=self.attn_impl)
+        out = sdpa(q, kv[:, :, 0], kv[:, :, 1], impl=self.attn_impl,
+                   key_mask=key_mask)
         out = out.reshape(b, n, self.dim)
         return nn.Dense(self.dim, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="proj")(out)
@@ -83,7 +89,12 @@ class DecoderBlock(nn.Module):
     attn_impl: str = "auto"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, context: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        context: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
         from .layers import Attention
 
         ln = lambda name: nn.LayerNorm(  # noqa: E731
@@ -99,7 +110,7 @@ class DecoderBlock(nn.Module):
         x = x + CrossAttention(self.dim, self.num_heads, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                attn_impl=self.attn_impl,
-                               name="cross_attn")(h, ctx)
+                               name="cross_attn")(h, ctx, key_mask=key_mask)
         h = ln("norm3")(x).astype(self.dtype)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="mlp")(h)

@@ -24,12 +24,18 @@ def sdpa(
     k: jnp.ndarray,
     v: jnp.ndarray,
     impl: str = "auto",
+    key_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Multi-head scaled dot-product attention.
 
     Args:
         q, k, v: (B, N, H, D) — batch, tokens, heads, head dim.
         impl: "auto" | "xla" | "flash".
+        key_mask: optional (K,) or (B, K) bool — True = key is attendable.
+            Used by the N-view cross-attention trunk to attend to "all OTHER
+            views" against one shared key/value set instead of per-view
+            gathered contexts (static shapes, O(1) graph size in V). Masked
+            attention currently routes through the XLA path.
 
     Returns:
         (B, N, H, D) attention output in q.dtype.
@@ -40,6 +46,8 @@ def sdpa(
         # 75 TFLOP/s on a ViT-L block stack at N=1370). On CPU, pallas only
         # runs interpreted — use the XLA path there.
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if key_mask is not None:
+        return _sdpa_xla(q, k, v, key_mask=key_mask)
     if impl == "xla":
         return _sdpa_xla(q, k, v)
     if impl == "flash":
@@ -51,7 +59,12 @@ def sdpa(
     raise ValueError(f"unknown attention impl: {impl}")
 
 
-def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def _sdpa_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     orig_dtype = q.dtype
     scale = q.shape[-1] ** -0.5
     # Scores accumulate in fp32 on the MXU; softmax stays fp32 (the reference
@@ -59,7 +72,13 @@ def _sdpa_xla(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     scores = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     )
-    probs = jax.nn.softmax(scores * scale, axis=-1)
+    scores = scores * scale
+    if key_mask is not None:
+        bias = jnp.where(key_mask, 0.0, -jnp.inf).astype(jnp.float32)
+        # (K,) -> (1,1,1,K) or (B,K) -> (B,1,1,K)
+        bias = bias[..., None, None, :] if bias.ndim == 2 else bias[None, None, None, :]
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(
         "bhqk,bkhd->bqhd",
         probs.astype(orig_dtype),
