@@ -16,6 +16,7 @@ from .norm import (
 )
 from .pointmaps import (
     angle_diff_vec3,
+    rigid_points_registration,
     closed_form_pose_inverse,
     convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap,
     geotrf,
@@ -58,6 +59,7 @@ __all__ = [
     "depthmap_to_camera_frame",
     "depthmap_to_world_frame",
     "geotrf",
+    "rigid_points_registration",
     "get_rays_in_camera_frame",
     "get_rays_in_world_frame",
     "inv",

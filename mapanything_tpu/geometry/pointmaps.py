@@ -106,3 +106,50 @@ def angle_diff_vec3(v1: jnp.ndarray, v2: jnp.ndarray, eps: float = 1e-12) -> jnp
     cross_norm = safe_norm(jnp.cross(v1, v2), axis=-1) + eps
     dot = jnp.sum(v1 * v2, axis=-1)
     return jnp.arctan2(cross_norm, dot)
+
+
+def rigid_points_registration(
+    pts_a: jnp.ndarray,
+    pts_b: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    with_scale: bool = False,
+):
+    """Weighted Kabsch/Umeyama: the rigid transform (R, t[, s]) minimizing
+    sum_i w_i || s*R @ a_i + t - b_i ||^2.
+
+    The on-device equivalent of roma.rigid_points_registration used by the
+    reference's DUSt3R-lineage pose recovery (e.g. reference
+    mapanything/models/external/must3r/__init__.py pose head) — closed form
+    via a 3x3 SVD, jit/vmap friendly.
+
+    Args:
+        pts_a, pts_b: (..., N, 3)
+        weights: optional (..., N) nonnegative
+        with_scale: also estimate a uniform scale.
+
+    Returns:
+        (R (..., 3, 3), t (..., 3)) or (R, t, s (...,)).
+    """
+    if weights is None:
+        weights = jnp.ones(pts_a.shape[:-1], pts_a.dtype)
+    w = weights / jnp.clip(
+        jnp.sum(weights, axis=-1, keepdims=True), 1e-12, None
+    )
+    mu_a = jnp.sum(pts_a * w[..., None], axis=-2)  # (..., 3)
+    mu_b = jnp.sum(pts_b * w[..., None], axis=-2)
+    ac = pts_a - mu_a[..., None, :]
+    bc = pts_b - mu_b[..., None, :]
+    cov = jnp.einsum("...ni,...nj->...ij", bc * w[..., None], ac)
+    u, s, vt = jnp.linalg.svd(cov)
+    det = jnp.linalg.det(jnp.einsum("...ij,...jk->...ik", u, vt))
+    d = jnp.concatenate(
+        [jnp.ones((*det.shape, 2), cov.dtype), det[..., None]], axis=-1
+    )
+    r = jnp.einsum("...ij,...j,...jk->...ik", u, d, vt)
+    if with_scale:
+        var_a = jnp.sum(w * jnp.sum(ac * ac, axis=-1), axis=-1)
+        scale = jnp.sum(s * d, axis=-1) / jnp.clip(var_a, 1e-12, None)
+        t = mu_b - scale[..., None] * jnp.einsum("...ij,...j->...i", r, mu_a)
+        return r, t, scale
+    t = mu_b - jnp.einsum("...ij,...j->...i", r, mu_a)
+    return r, t

@@ -19,6 +19,9 @@ from ..ops.attention import sdpa
 from .layers import Mlp
 
 CROCO_CONFIGS = {
+    # "test" is a 2-layer stub with the same module structure, for fast
+    # unit tests / dryruns only.
+    "test": dict(embed_dim=64, depth=2, num_heads=2),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "large": dict(embed_dim=1024, depth=24, num_heads=16),
 }

@@ -31,6 +31,9 @@ from .layers import Block
 
 # torch-hub DINOv2 configuration table.
 DINOV2_CONFIGS = {
+    # "test" is not a real DINOv2: a 2-layer stub with the same module
+    # structure, for fast unit tests / dryruns only.
+    "test": dict(embed_dim=64, depth=2, num_heads=2),
     "small": dict(embed_dim=384, depth=12, num_heads=6),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "large": dict(embed_dim=1024, depth=24, num_heads=16),

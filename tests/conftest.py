@@ -26,6 +26,18 @@ except Exception:
 
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: repeat test runs skip recompiles of the heavy
+# train-step/model graphs (fresh runs still pay them once).
+try:
+    _cache = os.path.expanduser("~/.cache/mapanything_tpu_xla_tests")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "xla_gpu_per_fusion_autotune_cache_dir")
+except Exception:
+    pass
+
 import pathlib  # noqa: E402
 import sys  # noqa: E402
 

@@ -1,0 +1,232 @@
+"""External-model adapter seam (round-1 VERDICT item 10).
+
+Proves the reference's §2.9 wrapper contract in this framework: a second
+model (ModularDUSt3R) runs through the dense N-view benchmark with ZERO
+benchmark-code changes, and an RMVD-style adaptor drives a model through
+the RobustMVD interface end to end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.data.synthetic import make_synthetic_batch
+from mapanything_tpu.geometry import (
+    quaternion_to_rotation_matrix,
+    rigid_points_registration,
+)
+from mapanything_tpu.models import (
+    MapAnything,
+    MapAnythingConfig,
+    ModularDUSt3R,
+    ModularDUSt3RConfig,
+)
+from mapanything_tpu.models.adapters import (
+    FACTORED_PRED_KEYS,
+    MapAnythingAdapter,
+    ModularDUSt3RAdapter,
+)
+
+
+class TestRigidPointsRegistration:
+    def test_recovers_known_transform(self):
+        rng = np.random.default_rng(0)
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        r_true = np.asarray(
+            quaternion_to_rotation_matrix(jnp.asarray(q, jnp.float32))
+        )
+        t_true = rng.normal(size=3).astype(np.float32)
+        a = rng.normal(size=(2, 50, 3)).astype(np.float32)
+        b = np.einsum("ij,bnj->bni", r_true, a) + t_true
+        r, t = rigid_points_registration(jnp.asarray(a), jnp.asarray(b))
+        np.testing.assert_allclose(np.asarray(r), np.tile(r_true, (2, 1, 1)),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(t), np.tile(t_true, (2, 1)),
+                                   atol=1e-4)
+
+    def test_with_scale_and_weights(self):
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(40, 3)).astype(np.float32)
+        b = 2.5 * a + np.asarray([1.0, -2.0, 0.5], np.float32)
+        # corrupt some points; weight them to zero
+        b_bad = b.copy()
+        b_bad[:5] += 100.0
+        w = np.ones(40, np.float32)
+        w[:5] = 0.0
+        r, t, s = rigid_points_registration(
+            jnp.asarray(a), jnp.asarray(b_bad), weights=jnp.asarray(w),
+            with_scale=True,
+        )
+        np.testing.assert_allclose(float(s), 2.5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(r), np.eye(3), atol=1e-4)
+
+
+class _SyntheticLoader:
+    """Minimal test loader with the dense_n_view duck type."""
+
+    def __init__(self, batches):
+        self.batches = batches
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+TINY_DUST3R = ModularDUSt3RConfig(
+    encoder_size="test", patch_size=4, decoder_dim=64, decoder_depth=2,
+    decoder_num_heads=2, dtype=jnp.float32,
+)
+
+
+class TestAdapterSeam:
+    def test_dust3r_through_dense_n_view_benchmark(self, tmp_path):
+        """A second model through the UNMODIFIED benchmark entry point."""
+        from mapanything_tpu.benchmarks import run_dense_n_view_benchmark
+
+        model = ModularDUSt3R(cfg=TINY_DUST3R)
+        adapter = ModularDUSt3RAdapter(model)
+        batch = make_synthetic_batch(2, 2, 16, 16, seed=3)
+        params = adapter.init(jax.random.PRNGKey(0), batch["views"])
+        loader = _SyntheticLoader([
+            jax.tree_util.tree_map(np.asarray, batch)
+        ])
+        out_json = str(tmp_path / "dust3r_bench.json")
+        summary = run_dense_n_view_benchmark(
+            adapter, params, loader, geom_cfg=None, output_json=out_json,
+        )
+        assert summary["num_sets"] == 2
+        for key in ("pointmaps_abs_rel", "depth_abs_rel", "pose_ate_rmse"):
+            assert np.isfinite(summary[key]), summary
+        import json
+        with open(out_json) as f:
+            assert len(json.load(f)["per_set"]) == 2
+
+    def test_adapter_output_contract(self):
+        model = ModularDUSt3R(cfg=TINY_DUST3R)
+        adapter = ModularDUSt3RAdapter(model)
+        views = {"img": jnp.zeros((1, 2, 16, 16, 3))}
+        params = adapter.init(jax.random.PRNGKey(0), views)
+        preds = adapter.apply(params, views)
+        for key in FACTORED_PRED_KEYS:
+            assert key in preds, f"missing factored key {key}"
+        assert preds["pts3d"].shape == (1, 2, 16, 16, 3)
+        assert preds["cam_quats"].shape == (1, 2, 4)
+        # view 0 is the identity reference view
+        np.testing.assert_allclose(
+            np.asarray(preds["cam_quats"][:, 0]), [[0, 0, 0, 1]], atol=1e-6
+        )
+
+    def test_dust3r_pose_recovery_consistency(self):
+        """With a stub model whose two runs ARE related by a known rigid
+        transform, the adapter must recover that exact pose."""
+        rng = np.random.default_rng(5)
+        h = w = 8
+        pts2_cam = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        r_true = np.asarray(quaternion_to_rotation_matrix(
+            jnp.asarray(q, jnp.float32)))
+        t_true = rng.normal(size=3).astype(np.float32)
+        pts2_in_v1 = np.einsum("ij,bhwj->bhwi", r_true, pts2_cam) + t_true
+        pts1 = rng.normal(size=(1, h, w, 3)).astype(np.float32)
+
+        class StubModel:
+            calls = []
+
+            def apply(self, params, views):
+                # forward pair -> (pts1, pts2_in_v1); swapped -> pts2_cam 1st
+                is_swapped = bool(StubModel.calls)
+                StubModel.calls.append(1)
+                if not is_swapped:
+                    pts = np.stack([pts1[0], pts2_in_v1[0]])[None]
+                else:
+                    pts = np.stack([pts2_cam[0], pts1[0]])[None]
+                return {
+                    "pts3d": jnp.asarray(pts),
+                    "conf": jnp.ones((1, 2, h, w)),
+                }
+
+        adapter = ModularDUSt3RAdapter(StubModel())
+        preds = adapter.apply({}, {"img": jnp.zeros((1, 2, h, w, 3))})
+        r_rec = np.asarray(
+            quaternion_to_rotation_matrix(preds["cam_quats"][:, 1])
+        )[0]
+        np.testing.assert_allclose(r_rec, r_true, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(preds["cam_trans"][0, 1]), t_true, atol=1e-4
+        )
+
+
+class TestRMVDAdaptor:
+    def test_end_to_end_depth_eval(self):
+        from mapanything_tpu.benchmarks.rmvd import (
+            RMVDAdaptor,
+            evaluate_mvs_depth,
+        )
+
+        cfg = MapAnythingConfig(
+            encoder_size="test", patch_size=14, trunk_dim=64, trunk_depth=2,
+            trunk_num_heads=2, trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        h = w = 28
+        rng = np.random.default_rng(7)
+        # init with the conditioning inputs present so the prior-encoder
+        # branches get parameters
+        init_views = {
+            "img": jnp.zeros((1, 2, h, w, 3)),
+            "ray_directions_cam": jnp.zeros((1, 2, h, w, 3)),
+        }
+        params = model.init(jax.random.PRNGKey(0), init_views)
+
+        adaptor = RMVDAdaptor(model, params,
+                              inference_conditioning="image+intrinsics")
+        k = np.asarray(
+            [[[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]]], np.float32
+        )
+        images = [
+            (rng.uniform(size=(1, 3, h, w)) * 255).astype(np.float32)
+            for _ in range(2)
+        ]
+        sample = {
+            "images": images,
+            "keyview_idx": 1,  # non-zero: adaptor must reorder
+            "intrinsics": [k, k],
+            "gt_depth": 1.0 + rng.uniform(size=(h, w)).astype(np.float32),
+        }
+        metrics = evaluate_mvs_depth(adaptor, [sample])
+        assert metrics["num_samples"] == 1
+        assert np.isfinite(metrics["depth_abs_rel"])
+        assert 0.0 <= metrics["depth_inlier_103"] <= 1.0
+
+    def test_conditioning_modes(self):
+        from mapanything_tpu.benchmarks.rmvd import RMVDAdaptor
+
+        cfg = MapAnythingConfig(
+            encoder_size="test", trunk_dim=64, trunk_depth=2,
+            trunk_num_heads=2, trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        views = {"img": jnp.zeros((1, 2, 28, 28, 3))}
+        params = model.init(jax.random.PRNGKey(0), views)
+        a = RMVDAdaptor(model, params,
+                        inference_conditioning="image+intrinsics+pose")
+        k = np.asarray(
+            [[[30.0, 0, 14.0], [0, 30.0, 14.0], [0, 0, 1]]], np.float32
+        )
+        pose = np.eye(4, dtype=np.float32)[None]
+        v = a.input_adapter(
+            [np.zeros((1, 3, 28, 28), np.float32)] * 2,
+            keyview_idx=0, poses=[pose, pose], intrinsics=[k, k],
+        )
+        assert "ray_directions_cam" in v and "camera_pose_quats" in v
+        with pytest.raises(ValueError):
+            RMVDAdaptor(model, params, inference_conditioning="lidar")
