@@ -116,7 +116,7 @@ class MapAnythingConfig:
     DINOv2-L/14 + 24-layer alternating-attention IFR trunk (dim 1024, taps
     [11, 17]) + DPT(256) raydirs/depth/conf/mask + pose head + scale MLP."""
 
-    encoder_type: str = "dinov2"  # "dinov2" | "croco" (encoder_str surface)
+    encoder_type: str = "dinov2"  # "dinov2" | "croco" | "radio" (encoder_str)
     encoder_size: str = "large"
     patch_size: int = 14
     data_norm_type: str = "dinov2"
@@ -236,10 +236,21 @@ class MapAnything(nn.Module):
                 param_dtype=self.param_dtype,
                 name="encoder",
             )
+        elif cfg.encoder_type == "radio":
+            from ..nn.radio import RadioViT
+
+            encoder = RadioViT(
+                size=cfg.encoder_size,
+                patch_size=cfg.patch_size,
+                dtype=cfg.dtype,
+                param_dtype=self.param_dtype,
+                remat=cfg.encoder_gradient_checkpointing,
+                name="encoder",
+            )
         else:
             raise ValueError(
                 f"unknown encoder_type {cfg.encoder_type!r}; "
-                "options: 'dinov2', 'croco'"
+                "options: 'dinov2', 'croco', 'radio'"
             )
         enc_feats = encoder(imgs.reshape(b * v, h, w, 3))
         enc_dim = encoder.embed_dim

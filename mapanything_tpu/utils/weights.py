@@ -122,6 +122,77 @@ def convert_dinov2(
     return params, used
 
 
+def convert_radio(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Tuple[Dict[str, Any], int]:
+    """Convert a torch-hub RADIO (AM-RADIO RADIOModel) state_dict to RadioViT
+    params.
+
+    Expected key layout under `prefix`:
+      input_conditioner.norm_mean / norm_std        (1,3,1,1) buffers
+      model.patch_generator.embedder.{weight,bias}  Linear (dim, p*p*3)
+      model.patch_generator.pos_embed               (1, N, dim)
+      model.patch_generator.cls_token.token         (1, k, dim); token 0 is
+          the cls token, tokens 1..k-1 become register_tokens
+      model.blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}
+      model.norm.{weight,bias}
+
+    Returns (params inner tree for RadioViT, consumed-tensor count).
+    """
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    used = 0
+
+    def take(k):
+        nonlocal used
+        used += 1
+        return g(k)
+
+    params: Dict[str, Any] = {
+        "norm_mean": _t(take("input_conditioner.norm_mean")).reshape(3),
+        "norm_std": _t(take("input_conditioner.norm_std")).reshape(3),
+        "pos_embed": _t(take("model.patch_generator.pos_embed")).reshape(
+            -1, _t(g("model.patch_generator.pos_embed")).shape[-1]
+        ),
+        "norm": layer_norm(take("model.norm.weight"), take("model.norm.bias")),
+    }
+
+    # embedder: Linear over (p1 p2 c)-flattened patches. The flatten order
+    # (p1, p2, c) matches flax Conv HWIO, so the kernel is a pure reshape.
+    ew = _t(take("model.patch_generator.embedder.weight"))  # (dim, p*p*3)
+    dim = ew.shape[0]
+    p = int(round((ew.shape[1] // 3) ** 0.5))
+    kernel = ew.T.reshape(p, p, 3, dim)
+    patch_embed: Dict[str, np.ndarray] = {"kernel": kernel}
+    if prefix + "model.patch_generator.embedder.bias" in sd:
+        patch_embed["bias"] = _t(take("model.patch_generator.embedder.bias"))
+    params["patch_embed"] = patch_embed
+
+    tok = _t(take("model.patch_generator.cls_token.token"))
+    tok = tok.reshape(1, -1, dim)
+    params["cls_token"] = tok[:, :1]
+    if tok.shape[1] > 1:
+        params["register_tokens"] = tok[:, 1:]
+
+    n_blocks = 0
+    while f"{prefix}model.blocks.{n_blocks}.norm1.weight" in sd:
+        n_blocks += 1
+    for i in range(n_blocks):
+        b = f"model.blocks.{i}."
+        params[f"blocks_{i}"] = {
+            "norm1": layer_norm(take(b + "norm1.weight"), take(b + "norm1.bias")),
+            "attn": {
+                "qkv": linear(take(b + "attn.qkv.weight"), take(b + "attn.qkv.bias")),
+                "proj": linear(take(b + "attn.proj.weight"), take(b + "attn.proj.bias")),
+            },
+            "norm2": layer_norm(take(b + "norm2.weight"), take(b + "norm2.bias")),
+            "mlp": {
+                "fc1": linear(take(b + "mlp.fc1.weight"), take(b + "mlp.fc1.bias")),
+                "fc2": linear(take(b + "mlp.fc2.weight"), take(b + "mlp.fc2.bias")),
+            },
+        }
+    return params, used
+
+
 def inspect_state_dict(sd: Mapping[str, Any], depth: int = 2) -> Dict[str, int]:
     """Group checkpoint keys by their first `depth` path components —
     the discovery tool for mapping unfamiliar checkpoints."""

@@ -101,6 +101,39 @@ class TestDinov2Conversion:
         assert "blocks" in groups and "pos_embed" in groups
 
 
+class TestRadioConversion:
+    @pytest.mark.parametrize("hw,regs", [((128, 128), 0), ((96, 160), 3)])
+    def test_patch_token_parity(self, hw, regs):
+        """RADIO hub checkpoint (mirror layout) converts and matches —
+        including the bilinear CPE resample path (input grid != stored
+        grid) and register tokens."""
+        from mapanything_tpu.nn.radio import RadioViT
+        from mapanything_tpu.utils.weights import convert_radio
+        from torch_mirror import RadioMirror, randomize_state_dict
+
+        h, w = hw
+        tm = RadioMirror(dim=64, depth=2, num_heads=2, patch_size=16,
+                         pos_grid=8, num_registers=regs)
+        randomize_state_dict(tm, seed=7)
+        tm.eval()
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 1, (1, 3, h, w)).astype(np.float32)
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()
+
+        params, used = convert_radio(tm.state_dict())
+        assert used == len(tm.state_dict())
+        assert ("register_tokens" in params) == bool(regs)
+
+        model = RadioViT(size="test", patch_size=16, img_size=128,
+                         num_register_tokens=regs, dtype=jnp.float32)
+        out = model.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+        out = np.asarray(out).reshape(ref.shape)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
 class TestRegistersVariant:
     def test_with_registers_parity(self):
         """DINOv2-with-registers (4 registers + antialiased pos-embed

@@ -451,6 +451,81 @@ class MirrorMapAnything(nn.Module):
         }
 
 
+class RadioMirror(nn.Module):
+    """torch-hub AM-RADIO RADIOModel mirror: hub state_dict key layout
+    (input_conditioner.norm_*, model.patch_generator.{embedder,pos_embed,
+    cls_token.token}, model.blocks.N.*, model.norm) and forward math
+    (conditioner -> Linear patchify -> bilinear CPE -> cls/registers with no
+    PE -> pre-norm blocks -> final norm -> patch tokens)."""
+
+    def __init__(self, dim=64, depth=2, num_heads=2, patch_size=16,
+                 pos_grid=8, num_registers=0):
+        super().__init__()
+        from mapanything.models.external.dinov2.layers.block import (
+            Block as DinoBlock,
+        )
+
+        self.patch_size = patch_size
+        self.pos_grid = pos_grid
+        self.num_registers = num_registers
+
+        cond = nn.Module()
+        cond.register_buffer(
+            "norm_mean",
+            torch.tensor([0.48145466, 0.4578275, 0.40821073]).view(1, 3, 1, 1),
+        )
+        cond.register_buffer(
+            "norm_std",
+            torch.tensor([0.26862954, 0.26130258, 0.27577711]).view(1, 3, 1, 1),
+        )
+        self.input_conditioner = cond
+
+        model = nn.Module()
+        pg = nn.Module()
+        pg.embedder = nn.Linear(patch_size * patch_size * 3, dim)
+        pg.pos_embed = nn.Parameter(torch.zeros(1, pos_grid * pos_grid, dim))
+        ct = nn.Module()
+        ct.token = nn.Parameter(torch.zeros(1, 1 + num_registers, dim))
+        pg.cls_token = ct
+        model.patch_generator = pg
+        # timm layout == vendored DINOv2 block with init_values=None
+        # (Identity layerscale registers no tensors)
+        model.blocks = nn.ModuleList(
+            [DinoBlock(dim, num_heads, qkv_bias=True, norm_layer=LN6)
+             for _ in range(depth)]
+        )
+        model.norm = LN6(dim)
+        self.model = model
+
+    def forward(self, x):  # (N, 3, H, W) in [0,1] -> (N, gh*gw, C)
+        p = self.patch_size
+        n, _, h, w = x.shape
+        gh, gw = h // p, w // p
+        x = (x - self.input_conditioner.norm_mean) / \
+            self.input_conditioner.norm_std
+        # im_to_patches: b c (h p1) (w p2) -> b (h w) (p1 p2 c)
+        x = x.reshape(n, 3, gh, p, gw, p).permute(0, 2, 4, 3, 5, 1)
+        x = x.reshape(n, gh * gw, p * p * 3)
+        x = self.model.patch_generator.embedder(x)
+
+        pos = self.model.patch_generator.pos_embed
+        if (gh, gw) != (self.pos_grid, self.pos_grid):
+            c = pos.shape[-1]
+            grid = pos.reshape(1, self.pos_grid, self.pos_grid, c)
+            grid = grid.permute(0, 3, 1, 2)
+            grid = F.interpolate(grid, size=(gh, gw), mode="bilinear",
+                                 align_corners=False)
+            pos = grid.permute(0, 2, 3, 1).reshape(1, gh * gw, c)
+        x = x + pos
+
+        tok = self.model.patch_generator.cls_token.token.expand(n, -1, -1)
+        x = torch.cat([tok, x], dim=1)
+        for blk in self.model.blocks:
+            x = blk(x)
+        x = self.model.norm(x)
+        return x[:, 1 + self.num_registers:, :]
+
+
 def randomize_state_dict(model: nn.Module, seed: int = 0) -> None:
     """Fill every parameter with reproducible, numerically-tame values."""
     rng = np.random.default_rng(seed)
