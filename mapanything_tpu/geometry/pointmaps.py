@@ -153,3 +153,56 @@ def rigid_points_registration(
         return r, t, scale
     t = mu_b - jnp.einsum("...ij,...j->...i", r, mu_a)
     return r, t
+
+
+def transform_pts3d(pts3d: jnp.ndarray, transformation: jnp.ndarray) -> jnp.ndarray:
+    """Apply a homogeneous 4x4 (or batched ...x4x4) transform to a pointmap.
+
+    Args:
+        pts3d: (..., H, W, 3)
+        transformation: (..., 4, 4)
+
+    Ref: geometry.py:117."""
+    r = transformation[..., :3, :3]
+    t = transformation[..., :3, 3]
+    return (
+        jnp.einsum("...ik,...hwk->...hwi", r, pts3d, precision="highest")
+        + t[..., None, None, :]
+    )
+
+
+def relative_pose_transformation(
+    trans_01: jnp.ndarray, trans_02: jnp.ndarray
+) -> jnp.ndarray:
+    """Relative homogeneous transform T_1^2 = (T_0^1)^-1 @ T_0^2.
+
+    Args:
+        trans_01, trans_02: (..., 4, 4)
+
+    Ref: geometry.py:1106."""
+    return jnp.einsum(
+        "...ij,...jk->...ik", inv(trans_01), trans_02, precision="highest"
+    )
+
+
+def convert_raymap_z_depth_quats_to_pointmap(
+    ray_origins: jnp.ndarray,
+    ray_directions: jnp.ndarray,
+    depth: jnp.ndarray,
+    quats: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-pixel raymap + z-depth + per-pixel unit quats -> world pointmap.
+
+    Args:
+        ray_origins, ray_directions: (..., H, W, 3)
+        depth: (..., H, W, 1)
+        quats: (..., H, W, 4) xyzw per-pixel rotations
+
+    Ref: geometry.py:532."""
+    quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    rot = quaternion_to_rotation_matrix(quats)  # (..., H, W, 3, 3)
+    pts_local = depth * ray_directions
+    rotated = jnp.einsum(
+        "...ik,...k->...i", rot, pts_local, precision="highest"
+    )
+    return ray_origins + rotated

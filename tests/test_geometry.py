@@ -260,3 +260,122 @@ class TestJit:
         )(dirs, depth, trans, quats)
         assert out.shape == (2, 6, 7, 3)
         jax.jit(lambda d: G.depth_edge(d, rtol=0.03))(depth[..., 0])
+
+
+class TestWindowTail:
+    """Long-tail window/pooling/transform parity (VERDICT r1 geometry gap)."""
+
+    def test_sliding_window_2d(self, ref_geometry, rng):
+        x = rng.normal(size=(2, 12, 16)).astype(np.float32)
+        ours = G.sliding_window_2d(jnp.asarray(x), 3, 2)
+        ref = ref_geometry.sliding_window_2d(x, 3, 2)
+        allclose(ours, ref)
+
+    def test_sliding_window_1d(self, ref_geometry, rng):
+        x = rng.normal(size=(4, 21)).astype(np.float32)
+        ours = G.sliding_window_1d(jnp.asarray(x), 5, 3, axis=-1)
+        ref = ref_geometry.sliding_window_1d(x, 5, 3, axis=-1)
+        allclose(ours, ref)
+
+    def test_max_pool_1d(self, ref_geometry, rng):
+        x = rng.normal(size=(3, 17)).astype(np.float32)
+        ours = G.max_pool_1d(jnp.asarray(x), 3, 2, padding=1)
+        ref = ref_geometry.max_pool_1d(x, 3, stride=2, padding=1)
+        allclose(ours, ref)
+
+    def test_depth_aliasing(self, ref_geometry, rng):
+        d = rng.uniform(0.5, 5.0, size=(10, 14)).astype(np.float32)
+        ours = G.depth_aliasing(jnp.asarray(d), atol=0.3, rtol=0.05)
+        ref = ref_geometry.depth_aliasing(d, atol=0.3, rtol=0.05)
+        assert np.array_equal(np.asarray(ours), ref)
+
+    def test_transform_pts3d(self, ref_geometry, rng):
+        pts = rng.normal(size=(2, 6, 7, 3)).astype(np.float32)
+        q = random_quats(rng, (2,))
+        pose = np.asarray(
+            G.pose_quats_trans_to_matrix(
+                jnp.asarray(q), jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+            )
+        )
+        ours = G.transform_pts3d(jnp.asarray(pts), jnp.asarray(pose))
+        ref = ref_geometry.transform_pts3d(t(pts), t(pose))
+        allclose(ours, ref, atol=1e-4)
+
+    def test_relative_pose_transformation(self, ref_geometry, rng):
+        qs = random_quats(rng, (2, 2))
+        poses = np.asarray(
+            G.pose_quats_trans_to_matrix(
+                jnp.asarray(qs),
+                jnp.asarray(rng.normal(size=(2, 2, 3)).astype(np.float32)),
+            )
+        )
+        ours = G.relative_pose_transformation(
+            jnp.asarray(poses[0]), jnp.asarray(poses[1])
+        )
+        ref = ref_geometry.relative_pose_transformation(t(poses[0]), t(poses[1]))
+        allclose(ours, ref, atol=1e-4)
+
+    def test_convert_raymap_z_depth_quats_to_pointmap(self, ref_geometry, rng):
+        h, w = 5, 6
+        origins = rng.normal(size=(h, w, 3)).astype(np.float32)
+        dirs = rng.normal(size=(h, w, 3)).astype(np.float32)
+        dirs[..., 2] = np.abs(dirs[..., 2]) + 0.5
+        depth = rng.uniform(0.5, 3, size=(h, w, 1)).astype(np.float32)
+        quats = random_quats(rng, (h, w))
+        ours = G.convert_raymap_z_depth_quats_to_pointmap(
+            jnp.asarray(origins), jnp.asarray(dirs), jnp.asarray(depth),
+            jnp.asarray(quats),
+        )
+        ref = ref_geometry.convert_raymap_z_depth_quats_to_pointmap(
+            t(origins), t(dirs), t(depth), t(quats)
+        )
+        allclose(ours, ref, atol=1e-4)
+
+    def test_adjust_camera_params_for_rotation(self, ref_geometry):
+        params = [500.0, 480.0, 320.0, 240.0]
+        for k in range(4):
+            ours = G.adjust_camera_params_for_rotation(params, (640, 480), k)
+            ref = ref_geometry.adjust_camera_params_for_rotation(
+                params, (640, 480), k
+            )
+            assert list(ours) == list(ref), k
+
+    def test_adjust_pose_for_rotation(self, ref_geometry, rng):
+        q = random_quats(rng, ())
+        pose = np.asarray(
+            G.pose_quats_trans_to_matrix(
+                jnp.asarray(q), jnp.asarray(rng.normal(size=(3,)).astype(np.float32))
+            )
+        ).astype(np.float64)
+        for k in range(4):
+            ours = G.adjust_pose_for_rotation(pose.copy(), k)
+            ref = ref_geometry.adjust_pose_for_rotation(pose.copy(), k)
+            allclose(ours, np.asarray(ref), atol=1e-6)
+
+    def test_crop_to_aspect_ratio_wide(self, ref_geometry, rng):
+        from PIL import Image
+
+        img = (rng.uniform(0, 255, size=(100, 200, 3))).astype(np.uint8)
+        depth = rng.uniform(0.1, 5, size=(100, 200)).astype(np.float32)
+        params = [120.0, 121.0, 100.0, 50.0]
+        oi, od, op = G.crop_to_aspect_ratio(img, depth, params, 1.5)
+        ri, rd, rp = ref_geometry.crop_to_aspect_ratio(
+            Image.fromarray(img), depth, params, 1.5
+        )
+        assert np.array_equal(oi, np.asarray(ri))
+        assert np.array_equal(od, rd)
+        assert list(op) == list(rp)
+
+    def test_crop_to_aspect_ratio_tall(self, ref_geometry, rng):
+        from PIL import Image
+
+        img = (rng.uniform(0, 255, size=(200, 100, 3))).astype(np.uint8)
+        depth = rng.uniform(0.1, 5, size=(200, 100)).astype(np.float32)
+        params = [120.0, 121.0, 50.0, 100.0]
+        oi, od, op = G.crop_to_aspect_ratio(img, depth, params, 1.5)
+        ri, rd, rp = ref_geometry.crop_to_aspect_ratio(
+            Image.fromarray(img), depth, params, 1.5
+        )
+        assert np.array_equal(oi, np.asarray(ri))
+        assert np.array_equal(od, rd)
+        assert list(op) == list(rp)
