@@ -21,12 +21,14 @@ from mapanything_tpu.utils.inference import (
 )
 
 TINY = MapAnythingConfig(
-    encoder_size="small",
-    trunk_dim=384,
+    encoder_size="test",
+    trunk_dim=64,
     trunk_depth=4,
-    trunk_num_heads=6,
+    trunk_num_heads=2,
     trunk_indices=(1, 2),
     dpt_feature_dim=32,
+    dpt_out_channels=(32, 32, 32, 32),
+    dpt_hidden_dims=(16, 8),
     dense_head_chunk=2,
     dtype=jnp.float32,
 )

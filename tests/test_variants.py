@@ -20,8 +20,9 @@ B, V, H, W = 1, 2, 28, 42
 
 
 def tiny_overrides():
-    return dict(encoder_size="small", trunk_dim=384, trunk_depth=4,
-                trunk_num_heads=6, trunk_indices=(1, 2), dpt_feature_dim=32,
+    return dict(encoder_size="test", trunk_dim=64, trunk_depth=4,
+                trunk_num_heads=2, trunk_indices=(1, 2), dpt_feature_dim=32,
+                dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
                 dtype=jnp.float32)
 
 
@@ -58,11 +59,9 @@ class TestAblations:
 
 class TestModularDUSt3R:
     def test_forward_contract(self):
-        cfg = ModularDUSt3RConfig(encoder_size="base", decoder_dim=192,
-                                  decoder_depth=2, decoder_num_heads=6,
+        cfg = ModularDUSt3RConfig(encoder_size="test", decoder_dim=64,
+                                  decoder_depth=2, decoder_num_heads=2,
                                   dtype=jnp.float32)
-        # shrink the encoder via config table override is not possible;
-        # use base encoder at tiny resolution instead
         model = ModularDUSt3R(cfg=cfg)
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.1}
         params = model.init(jax.random.PRNGKey(0), views)
@@ -98,14 +97,32 @@ class TestCrossTrunk:
 class TestCrocoEncoderModel:
     def test_croco_encoder_variant(self):
         cfg = MapAnythingConfig(
-            encoder_type="croco", encoder_size="base", patch_size=16,
-            trunk_dim=192, trunk_depth=2, trunk_num_heads=6,
-            trunk_indices=(0, 1), dpt_feature_dim=32, dtype=jnp.float32,
+            encoder_type="croco", encoder_size="test", patch_size=16,
+            trunk_dim=64, trunk_depth=2, trunk_num_heads=2,
+            trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dtype=jnp.float32,
         )
         model = MapAnything(cfg=cfg)
         from mapanything_tpu.models import images_only_config
 
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.2}
+        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        out = model.apply(params, views, images_only_config())
+        assert out["pts3d"].shape == (1, 2, 32, 32, 3)
+
+    def test_radio_encoder_variant(self):
+        cfg = MapAnythingConfig(
+            encoder_type="radio", encoder_size="test", patch_size=16,
+            trunk_dim=64, trunk_depth=2, trunk_num_heads=2,
+            trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        from mapanything_tpu.models import images_only_config
+
+        views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.5}
         params = model.init(jax.random.PRNGKey(0), views, images_only_config())
         out = model.apply(params, views, images_only_config())
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
@@ -205,10 +222,7 @@ class TestInfoSharingTypes:
         )
         from mapanything_tpu.data.synthetic import make_synthetic_batch
 
-        cfg = MapAnythingConfig(
-            info_sharing_type=ist, **tiny_overrides(),
-            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
-        )
+        cfg = MapAnythingConfig(info_sharing_type=ist, **tiny_overrides())
         model = MapAnything(cfg=cfg)
         batch = make_synthetic_batch(1, 4, 28, 28, seed=11)
         geom = images_only_config()
