@@ -24,39 +24,87 @@ from .wai import load_covisibility_mmap, load_frame, load_scene_meta
 
 @dataclasses.dataclass(frozen=True)
 class WAIDatasetSpec:
+    """Per-dataset quirk table (the content of each reference class).
+
+    The reference's 14 classes differ only in the fields below; the quirk
+    pipeline in WAIDataset._get_views applies them in the same order as the
+    reference's per-class _get_views bodies."""
+
     name: str  # registry key, also used in dataset mix strings
     metadata_stem: str  # scene list file: {stem}_scene_list_{split}.npy
     depth_modality: str = "depth"
     image_modality: str = "image"
     is_metric_scale: bool = True
     is_synthetic: bool = False
-    mask_modality: Optional[str] = None  # optional non-ambiguous mask
+    # moge2-style predicted valid mask: resized (nearest) to the image,
+    # zeroes depth outside, and becomes non_ambiguous_mask
+    # (blendedmvs.py:131-140 et al.)
+    mask_modality: Optional[str] = None
+    # sky mask zeroing depth (spring.py:126-128)
+    sky_mask_modality: Optional[str] = None
+    # zero-depth pixels are sky/ambiguous -> non_ambiguous = depth > 0
+    # (mvs_synth.py:129-130, sailvos3d, paralleldomain4d, unrealstereo4k)
+    zero_depth_is_ambiguous: bool = False
+    # horizon/transparency outliers: zero depth above this percentile
+    # (mvs_synth.py:132-135, tav2_wb.py:130-132, ...)
+    depth_outlier_percentile: Optional[float] = None
+    # MVS confidence filter (dl3dv.py:123-171): confidence modality +
+    # threshold; depth below-confidence pixels are zeroed
+    confidence_modality: Optional[str] = None
+    confidence_threshold: float = 0.25
 
 
-# Registry: flags per the reference dataset files (is_metric_scale /
-# is_synthetic assignments in datasets/wai/<name>.py).
+# Registry: flags + quirk pipeline per the reference dataset files
+# (datasets/wai/<name>.py _get_views bodies).
 WAI_DATASET_SPECS = {
     "ase": WAIDatasetSpec("ase", "ase", is_synthetic=True),
     "blendedmvs": WAIDatasetSpec("blendedmvs", "blendedmvs",
-                                 is_metric_scale=False),
-    "dl3dv": WAIDatasetSpec("dl3dv", "dl3dv", is_metric_scale=False),
+                                 is_metric_scale=False,
+                                 mask_modality="pred_mask/moge2"),
+    "dl3dv": WAIDatasetSpec("dl3dv", "dl3dv", is_metric_scale=False,
+                            depth_modality="pred_depth/mvsanywhere",
+                            mask_modality="pred_mask/moge2",
+                            confidence_modality="depth_confidence/mvsanywhere"),
     "dynamicreplica": WAIDatasetSpec("dynamicreplica", "dynamicreplica",
                                      is_synthetic=True),
     "eth3d": WAIDatasetSpec("eth3d", "eth3d"),
     "megadepth": WAIDatasetSpec("megadepth", "megadepth",
-                                is_metric_scale=False),
-    "mpsd": WAIDatasetSpec("mpsd", "mpsd"),
-    "mvs_synth": WAIDatasetSpec("mvs_synth", "mvs_synth", is_synthetic=True),
+                                is_metric_scale=False,
+                                mask_modality="pred_mask/moge2"),
+    "mpsd": WAIDatasetSpec("mpsd", "mpsd", mask_modality="pred_mask/moge2"),
+    "mvs_synth": WAIDatasetSpec("mvs_synth", "mvs_synth", is_synthetic=True,
+                                zero_depth_is_ambiguous=True,
+                                depth_outlier_percentile=95.0),
     "paralleldomain4d": WAIDatasetSpec("paralleldomain4d", "paralleldomain4d",
-                                       is_synthetic=True),
-    "sailvos3d": WAIDatasetSpec("sailvos3d", "sailvos3d", is_synthetic=True),
+                                       is_synthetic=True,
+                                       zero_depth_is_ambiguous=True,
+                                       depth_outlier_percentile=95.0),
+    "sailvos3d": WAIDatasetSpec("sailvos3d", "sailvos3d", is_synthetic=True,
+                                zero_depth_is_ambiguous=True,
+                                depth_outlier_percentile=95.0),
     "scannetpp": WAIDatasetSpec("scannetpp", "scannetppv2",
                                 depth_modality="rendered_depth"),
-    "spring": WAIDatasetSpec("spring", "spring", is_synthetic=True),
-    "tav2_wb": WAIDatasetSpec("tav2_wb", "tav2_wb", is_synthetic=True),
+    "spring": WAIDatasetSpec("spring", "spring", is_synthetic=True,
+                             mask_modality="pred_mask/moge2",
+                             sky_mask_modality="skymask"),
+    "tav2_wb": WAIDatasetSpec("tav2_wb", "tav2_wb", is_synthetic=True,
+                              mask_modality="pred_mask/moge2",
+                              depth_outlier_percentile=95.0),
     "unrealstereo4k": WAIDatasetSpec("unrealstereo4k", "unrealstereo4k",
-                                     is_synthetic=True),
+                                     is_synthetic=True,
+                                     zero_depth_is_ambiguous=True,
+                                     depth_outlier_percentile=95.0),
 }
+
+
+def _nearest_resize_2d(x: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize via index maps (pure numpy, any dtype)."""
+    if x.shape[:2] == (h, w):
+        return x
+    ih, iw = x.shape[:2]
+    ri = np.clip((np.arange(h) + 0.5) * ih / h, 0, ih - 1).astype(np.int64)
+    ci = np.clip((np.arange(w) + 0.5) * iw / w, 0, iw - 1).astype(np.int64)
+    return x[ri][:, ci]
 
 
 class WAIDataset(BaseDataset):
@@ -117,38 +165,78 @@ class WAIDataset(BaseDataset):
             num_views_to_sample, len(frame_names), covis
         )
 
-        modalities = [self.spec.image_modality, self.spec.depth_modality]
-        if self.spec.mask_modality:
-            modalities.append(self.spec.mask_modality)
+        spec = self.spec
+        modalities = [spec.image_modality, spec.depth_modality]
+        for extra in (spec.mask_modality, spec.sky_mask_modality,
+                      spec.confidence_modality):
+            if extra:
+                modalities.append(extra)
 
         views = []
         for vi in view_indices:
             data = load_frame(scene_root, frame_names[int(vi)],
                               modalities=modalities, scene_meta=scene_meta)
-            image = data[self.spec.image_modality]
-            depth = data[self.spec.depth_modality].astype(np.float32)
+            image = data[spec.image_modality]
+            depth = data[spec.depth_modality].astype(np.float32)
             intrinsics = data["intrinsics"].astype(np.float32)
             pose = data["extrinsics"].astype(np.float32)
-            # clean non-finite depth (matches per-dataset handling)
+            ih, iw = image.shape[:2]
+            # clean non-finite depth (shared across all reference classes)
             depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
+            # MVS depth may be a different resolution than the image
+            # (dl3dv.py:145-158); nearest-resize it to the image grid
+            depth = _nearest_resize_2d(depth, ih, iw)
 
-            image, depth, intrinsics = self._crop_resize_if_necessary(
-                image, resolution, depth, intrinsics
-            )
+            # --- quirk pipeline, reference per-class order ---------------
+            if spec.confidence_modality:  # dl3dv.py:162-171
+                conf = np.asarray(data[spec.confidence_modality],
+                                  dtype=np.float32)
+                conf_mask = _nearest_resize_2d(
+                    (conf > spec.confidence_threshold).astype(np.int32),
+                    ih, iw)
+                depth = np.where(conf_mask, depth, 0.0)
+            if spec.sky_mask_modality:  # spring.py:126-128
+                sky = _nearest_resize_2d(
+                    np.asarray(data[spec.sky_mask_modality]).astype(bool),
+                    ih, iw)
+                depth = np.where(sky, 0.0, depth)
+            if spec.depth_outlier_percentile is not None:
+                # horizon/transparency outliers (mvs_synth.py:132-135)
+                pct = np.percentile(depth, spec.depth_outlier_percentile)
+                depth = np.where(depth > pct, 0.0, depth)
+
+            non_ambiguous_mask = None
+            if spec.mask_modality:  # moge2 mask (blendedmvs.py:131-140)
+                non_ambiguous_mask = _nearest_resize_2d(
+                    np.asarray(data[spec.mask_modality]).astype(np.int32),
+                    ih, iw)
+                depth = np.where(non_ambiguous_mask, depth, 0.0)
+            elif spec.zero_depth_is_ambiguous:  # mvs_synth.py:129-130
+                non_ambiguous_mask = (depth > 0).astype(np.int32)
+
+            if non_ambiguous_mask is not None:
+                image, depth, intrinsics, extras = (
+                    self._crop_resize_if_necessary(
+                        image, resolution, depth, intrinsics,
+                        additional_quantities=[non_ambiguous_mask],
+                    )
+                )
+            else:
+                image, depth, intrinsics = self._crop_resize_if_necessary(
+                    image, resolution, depth, intrinsics
+                )
+                extras = None
             view = dict(
                 img=image,
                 depthmap=depth,
                 camera_intrinsics=intrinsics,
                 camera_pose=pose,
-                dataset=self.spec.name,
+                dataset=spec.name,
                 label=scene_name,
                 instance=os.path.join("images", str(data["frame_name"])),
             )
-            if self.spec.mask_modality:
-                # mask was not resized jointly; recompute cheaply if same size
-                m = data[self.spec.mask_modality]
-                if m.shape[:2] == depth.shape[:2]:
-                    view["non_ambiguous_mask"] = m
+            if extras is not None:
+                view["non_ambiguous_mask"] = extras[0]
             views.append(view)
         return views
 

