@@ -40,23 +40,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]  # (bq, d)
+    # The (bq, bk) elementwise chain on the VPU — not the matmuls — is the
+    # bottleneck at ViT lengths, so every per-element op counts:
+    #  * base-2 softmax domain (exp2 is cheaper than exp on the VPU),
+    #  * softmax scale folded into q (bq*d elements, not bq*bk),
+    #  * padding mask applied only in the ragged final k-block.
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]  # (bk, d)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    s = s * scale
 
-    # Mask padded kv columns (static kv_len -> constant fold when aligned).
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, -jnp.inf)
+    if kv_len % block_k != 0:  # static: no mask at all for aligned kv
+        # Additive (1, bk) bias row instead of a per-element iota/compare/
+        # select over (bq, bk): one broadcast add on the VPU.
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        bias = jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+        s = s + bias
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
@@ -74,8 +82,45 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
 
 
+def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
+                        *, scale: float, kv_len: int):
+    """Single k-block specialization: when the whole kv fits one block
+    (every encoder / frame-attention call), the online-softmax carry
+    (m/l scratch, init pass, rescale multiplies, broadcast writes) is pure
+    overhead — a plain one-shot softmax does strictly less VPU work."""
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    if kv_len != s.shape[1]:  # ragged tail: additive (1, bk) bias row
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
+
+
+def pick_block(n: int, target: int) -> int:
+    """Largest block <= ~target that minimizes padding waste.
+
+    Blocks must be lane-aligned (multiples of 128). Naively clamping the
+    default block to round_up(n, 128) pads ragged sequences up to 2x — at
+    the ViT sequence length 1370, block 1024 pads to 2048 (+49% wasted
+    MXU work). Instead split n into ceil(n/target) blocks and round the
+    per-block size up to 128: 1370 -> 2 blocks of 704 (pad 1408, +2.7%).
+    """
+    num_blocks = max(1, -(-n // target))
+    return _round_up(-(-n // num_blocks), 128)
 
 
 @functools.partial(
@@ -102,8 +147,8 @@ def flash_attention(
     kv_len = k.shape[1]
     scale = d**-0.5
 
-    block_q = min(block_q, _round_up(n, 128))
-    block_k = min(block_k, _round_up(kv_len, 128))
+    block_q = pick_block(n, block_q)
+    block_k = pick_block(kv_len, block_k)
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -116,6 +161,26 @@ def flash_attention(
     qb = to_bh(q, n_pad)
     kb = to_bh(k, kv_pad)
     vb = to_bh(v, kv_pad)
+
+    if kv_pad == block_k:
+        # single k-block: one-shot softmax, no carry scratch
+        grid = (b * h, n_pad // block_q)
+        out = pl.pallas_call(
+            functools.partial(
+                _flash_kernel_1pass, scale=scale, kv_len=kv_len
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            interpret=interpret,
+        )(qb, kb, vb)
+        out = out[:, :n].reshape(b, h, n, d)
+        return jnp.swapaxes(out, 1, 2)
 
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(

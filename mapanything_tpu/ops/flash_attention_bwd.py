@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import _LANES, _round_up, flash_attention
+from .flash_attention import _LANES, _round_up, flash_attention, pick_block
 
 
 def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
@@ -40,8 +40,11 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
     q = q_ref[0]
     k = k_ref[0]
+    # Base-2 softmax domain throughout (see flash_attention.py): the VPU's
+    # 2^x is much cheaper than e^x and softmax is the VPU bottleneck here.
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32
+                            ) * (scale * 1.4426950408889634)
     col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < kv_len, s, -jnp.inf)
 
@@ -49,8 +52,8 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
@@ -64,7 +67,8 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l = l_ref[:, :1]
         safe_l = jnp.where(l == 0, 1.0, l)
         o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
-        lse_row = m_ref[:, 0] + jnp.log(safe_l[:, 0])  # (bq,)
+        # lse kept in the base-2 domain: lse2 = m2 + log2(l)
+        lse_row = m_ref[:, 0] + jnp.log2(safe_l[:, 0])  # (bq,)
         # lse is stored (bh, nq, 8, bq) to satisfy TPU block tiling
         lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
 
@@ -88,12 +92,14 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0, 0]  # (bq,)
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32
+                            ) * (scale * 1.4426950408889634)
     row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
     col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 1)
     valid = (row < q_len) & (col < kv_len)
-    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)  # (bq, bk)
+    # lse is base-2 (m2 + log2 l): p = exp2(s2 - lse2) == softmax weight
+    p = jnp.where(valid, jnp.exp2(s - lse[:, None]), 0.0)  # (bq, bk)
 
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
@@ -128,12 +134,13 @@ def _dq_kernel(q_ref, k_ref, do_ref, v_ref, lse_ref, delta_ref,
     delta = delta_ref[0, 0, 0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32
+                            ) * (scale * 1.4426950408889634)
     row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
         jnp.int32, s.shape, 0)
     col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     valid = (row < q_len) & (col < kv_len)
-    p = jnp.where(valid, jnp.exp(s - lse[:, None]), 0.0)
+    p = jnp.where(valid, jnp.exp2(s - lse[:, None]), 0.0)
 
     dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                              (((1,), (1,)), ((), ())),
@@ -159,8 +166,8 @@ def _fwd_with_lse(q, k, v, block_q, block_k):
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = d**-0.5
-    block_q = min(block_q, _round_up(n, 128))
-    block_k = min(block_k, _round_up(kv_len, 128))
+    block_q = pick_block(n, block_q)
+    block_k = pick_block(kv_len, block_k)
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
     qb, kb, vb = (_prep(q, n_pad, b, h, d), _prep(k, kv_pad, b, h, d),

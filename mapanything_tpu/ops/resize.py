@@ -44,9 +44,14 @@ def bilinear_resize(
         return x
     mh = jnp.asarray(_linear_matrix(h, oh, align_corners), dtype=x.dtype)
     mw = jnp.asarray(_linear_matrix(w, ow, align_corners), dtype=x.dtype)
-    x = jnp.einsum("ih,...hwc->...iwc", mh, x)
-    x = jnp.einsum("jw,...hwc->...hjc", mw, x)
-    return x
+    # fp32 accumulation keeps bf16 feature maps honest (weights are 2-tap
+    # convex combinations; the sums must not round at every tap)
+    dtype = x.dtype
+    x = jnp.einsum("ih,...hwc->...iwc", mh, x,
+                   preferred_element_type=jnp.float32)
+    x = jnp.einsum("jw,...hwc->...hjc", mw, x.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    return x.astype(dtype)
 
 
 def nearest_resize(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
