@@ -52,7 +52,6 @@ from ..geometry import (
     transform_pose_using_quats_and_trans_2_to_1,
 )
 from ..nn.adaptors import (
-    dense_adaptor_raydirs_depth_conf_mask,
     pose_adaptor,
     scale_adaptor,
 )
@@ -61,6 +60,24 @@ from ..nn.dpt import DPTFeature, DPTRegressionProcessor
 from ..nn.encoders import DenseRepEncoder, GlobalRepEncoder
 from ..nn.heads import MLPHead, PoseHead
 from ..nn.trunk import AlternatingAttentionTrunk
+
+
+# Scene-rep family -> base dense-head channel count (before conf/mask).
+_SCENE_REP_BASE_CHANNELS = {
+    "pointmap": 3,
+    "raymap+depth": 7,  # origins 3 + dirs 3 + depth 1
+    "raydirs+depth+pose": 4,
+    "campointmap+pose": 3,
+    "pointmap+raydirs+depth+pose": 7,  # pointmap 3 + dirs 3 + depth 1
+}
+
+
+def dense_dim_for(scene_rep_type: str) -> int:
+    """Dense-head output channels a scene_rep_type needs (incl. conf/mask)."""
+    base = scene_rep_type.replace("+confidence", "").replace("+mask", "")
+    return (_SCENE_REP_BASE_CHANNELS[base]
+            + int("+confidence" in scene_rep_type)
+            + int("+mask" in scene_rep_type))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -146,11 +163,16 @@ class MapAnythingConfig:
     # VGGT-lineage tail uses (128, 32)).
     dpt_hidden_dims: tuple = (128, 64)
     dpt_out_channels: tuple = (256, 512, 1024, 1024)
-    # Scene representation family (reference adaptor_type, model.py:390-587):
-    #   "raydirs+depth+pose+confidence+mask"  (released default, 6 channels)
-    #   "campointmap+pose+confidence+mask"    (camera-frame pointmap, 5 ch)
+    # Scene representation family (reference adaptor_type, model.py:390-587).
+    # All 20 reference arms: {pointmap, raymap+depth, raydirs+depth+pose,
+    # campointmap+pose, pointmap+raydirs+depth+pose} x {"", +confidence,
+    # +mask, +confidence+mask}. Released default below (6 channels).
     scene_rep_type: str = "raydirs+depth+pose+confidence+mask"
     dense_output_dim: int = 6  # raydirs 3 + depth 1 + conf 1 + mask 1
+    # For "pointmap+raydirs+depth+pose": rebuild global pointmaps from the
+    # factored rays/depth/pose instead of the direct pointmap channels
+    # (reference use_factored_predictions_for_global_pointmaps).
+    use_factored_global_pointmaps: bool = True
     pose_num_resconv: int = 2
 
     # Static replacement for adaptive minibatching: dense-head token maps are
@@ -159,6 +181,18 @@ class MapAnythingConfig:
 
     # Compute dtype for the encoder/trunk hot path.
     dtype: Any = jnp.bfloat16
+    # Dense-head (DPT) compute dtype. The reference keeps heads in an
+    # autocast-off fp32 island (model.py:1599-1617); on the MXU, bf16 convs
+    # with fp32 accumulation run ~4x faster and the head output differs by
+    # <1e-2 rel (validated in tests/test_model.py). "auto" follows `dtype`
+    # (bf16 serving path) and stays fp32 when `dtype` is fp32 (the
+    # conversion-parity path).
+    heads_dtype: str = "auto"  # "auto" | "float32" | "bfloat16"
+
+    def resolved_heads_dtype(self):
+        if self.heads_dtype == "auto":
+            return self.dtype
+        return jnp.dtype(self.heads_dtype).type
 
 
 class _DenseHead(nn.Module):
@@ -169,13 +203,14 @@ class _DenseHead(nn.Module):
 
     @nn.compact
     def __call__(self, hooks, out_hw):
-        hooks = [h.astype(jnp.float32) for h in hooks]  # fp32 island entry
+        hdt = self.cfg.resolved_heads_dtype()
+        hooks = [h.astype(hdt) for h in hooks]
         feat = DPTFeature(
             input_feature_dims=(1024, self.cfg.trunk_dim, self.cfg.trunk_dim,
                                 self.cfg.trunk_dim),
             feature_dim=self.cfg.dpt_feature_dim,
             out_channels=tuple(self.cfg.dpt_out_channels),
-            dtype=jnp.float32,  # heads run fp32 (autocast-off island)
+            dtype=hdt,  # fp32 island when heads_dtype resolves to fp32
             param_dtype=self.param_dtype,
             name="dpt_feature",
         )(hooks)
@@ -183,7 +218,7 @@ class _DenseHead(nn.Module):
             input_feature_dim=self.cfg.dpt_feature_dim,
             output_dim=self.cfg.dense_output_dim,
             hidden_dims=tuple(self.cfg.dpt_hidden_dims),
-            dtype=jnp.float32,
+            dtype=hdt,
             param_dtype=self.param_dtype,
             name="dpt_regressor",
         )(feat, out_hw)
@@ -362,14 +397,18 @@ class MapAnything(nn.Module):
         else:
             raw_dense = dense_head(hooks, (h, w))
 
-        pose_head = PoseHead(
-            input_feature_dim=cfg.trunk_dim,
-            num_resconv_block=cfg.pose_num_resconv,
-            dtype=jnp.float32,
-            param_dtype=self.param_dtype,
-            name="pose_head",
-        )
-        raw_pose = pose_head(hooks[-1].astype(jnp.float32))  # (B*V, 7)
+        if cfg.scene_rep_type.replace("+confidence", "").replace(
+                "+mask", "").endswith("pose"):
+            pose_head = PoseHead(
+                input_feature_dim=cfg.trunk_dim,
+                num_resconv_block=cfg.pose_num_resconv,
+                dtype=jnp.float32,
+                param_dtype=self.param_dtype,
+                name="pose_head",
+            )
+            raw_pose = pose_head(hooks[-1].astype(jnp.float32))  # (B*V, 7)
+        else:  # pose-less scene reps (pointmap / raymap+depth families)
+            raw_pose = None
 
         if cfg.use_scale_token:
             scale_head = MLPHead(
@@ -385,54 +424,110 @@ class MapAnything(nn.Module):
         # 5. Adaptors + factored recombination (model.py:1683-1907).
         # ------------------------------------------------------------------
         raw5 = raw_dense.reshape(b, v, h, w, cfg.dense_output_dim)
-        pose = pose_adaptor(raw_pose.reshape(b, v, 7))
         if raw_scale is not None:
             metric_scale = scale_adaptor(raw_scale)[:, 0]  # (B,)
         else:
             metric_scale = jnp.ones((b,), jnp.float32)
 
-        if cfg.scene_rep_type == "raydirs+depth+pose+confidence+mask":
-            dense = dense_adaptor_raydirs_depth_conf_mask(raw5)
-            ray_dirs = dense["ray_directions"]
-            depth_along_ray = dense["depth_along_ray"]
-            pts3d_cam = ray_dirs * depth_along_ray
-        elif cfg.scene_rep_type == "campointmap+pose+confidence+mask":
-            # direct camera-frame pointmap regression (model.py:1745-1810):
-            # dirs/depth derived by normalizing the pointmap
-            from ..nn.adaptors import confidence_adaptor, mask_adaptor
-
-            assert cfg.dense_output_dim == 5, (
-                "campointmap rep needs dense_output_dim=5 (xyz+conf+mask)"
-            )
-            pts3d_cam = raw5[..., 0:3]
-            depth_along_ray = jnp.linalg.norm(pts3d_cam, axis=-1, keepdims=True)
-            ray_dirs = pts3d_cam / jnp.clip(depth_along_ray, 1e-8, None)
-            dense = {
-                "conf": confidence_adaptor(raw5[..., 3:4]),
-                **mask_adaptor(raw5[..., 4:5]),
-            }
-        else:
+        # Parse the scene-rep family + conf/mask flags (the reference's 20
+        # adaptor_type arms, model.py:407-586 / 1620-1907, collapse to 5
+        # families x 2 flags).
+        srt = cfg.scene_rep_type
+        with_conf = "+confidence" in srt
+        with_mask = "+mask" in srt
+        base = srt.replace("+confidence", "").replace("+mask", "")
+        if base not in _SCENE_REP_BASE_CHANNELS:
             raise ValueError(
-                f"unknown scene_rep_type {cfg.scene_rep_type!r}"
+                f"unknown scene_rep_type {srt!r}; families: "
+                f"{sorted(_SCENE_REP_BASE_CHANNELS)} (+confidence, +mask)"
             )
-        pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
-            ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
-        )
+        c = _SCENE_REP_BASE_CHANNELS[base]
+        expected_dim = c + int(with_conf) + int(with_mask)
+        if cfg.dense_output_dim != expected_dim:
+            raise ValueError(
+                f"dense_output_dim={cfg.dense_output_dim} but "
+                f"{srt!r} needs {expected_dim}"
+            )
+        needs_pose = base.endswith("pose")
 
         s = metric_scale[:, None, None, None, None]
-        s_vec = metric_scale[:, None, None]
-        return {
-            "pts3d": pts3d * s,
-            "pts3d_cam": pts3d_cam * s,
-            "ray_directions": ray_dirs,
-            "depth_along_ray": depth_along_ray * s,
-            "cam_trans": pose["trans"] * s_vec,
-            "cam_quats": pose["quats"],
-            "metric_scaling_factor": metric_scale,
-            "conf": dense["conf"][..., 0],
-            "non_ambiguous_mask": dense["mask"][..., 0] > 0.5,
-            "non_ambiguous_mask_logits": dense["logits"][..., 0],
-        }
+        out = {"metric_scaling_factor": metric_scale}
+        if needs_pose:
+            pose = pose_adaptor(raw_pose.reshape(b, v, 7))
+            s_vec = metric_scale[:, None, None]
+            out["cam_trans"] = pose["trans"] * s_vec
+            out["cam_quats"] = pose["quats"]
+
+        from ..nn.adaptors import (
+            confidence_adaptor,
+            depth_adaptor,
+            mask_adaptor,
+            normalize_to_unit_sphere,
+        )
+
+        if base == "pointmap":
+            # DUSt3R-style direct world-frame pointmap (model.py:1620-1640)
+            out["pts3d"] = raw5[..., 0:3] * s
+        elif base == "raymap+depth":
+            # per-pixel ray origins + dirs + depth (model.py:1641-1682)
+            origins = raw5[..., 0:3]
+            ray_dirs = raw5[..., 3:6]
+            depth_along_ray = depth_adaptor(raw5[..., 6:7])
+            out["pts3d"] = (origins + ray_dirs * depth_along_ray) * s
+            out["ray_origins"] = origins * s
+            out["ray_directions"] = ray_dirs
+            out["depth_along_ray"] = depth_along_ray * s
+        elif base == "raydirs+depth+pose":
+            # released factored rep (model.py:1683-1741)
+            ray_dirs = normalize_to_unit_sphere(raw5[..., 0:3])
+            depth_along_ray = depth_adaptor(raw5[..., 3:4])
+            pts3d_cam = ray_dirs * depth_along_ray
+            pts3d = (
+                convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+                    ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
+                )
+            )
+            out.update(pts3d=pts3d * s, pts3d_cam=pts3d_cam * s,
+                       ray_directions=ray_dirs,
+                       depth_along_ray=depth_along_ray * s)
+        elif base == "campointmap+pose":
+            # camera-frame pointmap regression (model.py:1742-1800):
+            # dirs/depth derived by normalizing the pointmap
+            pts3d_cam = raw5[..., 0:3]
+            depth_along_ray = jnp.linalg.norm(pts3d_cam, axis=-1,
+                                              keepdims=True)
+            ray_dirs = pts3d_cam / jnp.clip(depth_along_ray, 1e-8, None)
+            pts3d = (
+                convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+                    ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
+                )
+            )
+            out.update(pts3d=pts3d * s, pts3d_cam=pts3d_cam * s,
+                       ray_directions=ray_dirs,
+                       depth_along_ray=depth_along_ray * s)
+        else:  # "pointmap+raydirs+depth+pose" (model.py:1801-1866)
+            pm_direct = raw5[..., 0:3]
+            ray_dirs = normalize_to_unit_sphere(raw5[..., 3:6])
+            depth_along_ray = depth_adaptor(raw5[..., 6:7])
+            pts3d_cam = ray_dirs * depth_along_ray
+            if cfg.use_factored_global_pointmaps:
+                pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+                    ray_dirs, depth_along_ray, pose["trans"], pose["quats"]
+                )
+            else:
+                pts3d = pm_direct
+            out.update(pts3d=pts3d * s, pts3d_cam=pts3d_cam * s,
+                       ray_directions=ray_dirs,
+                       depth_along_ray=depth_along_ray * s)
+
+        if with_conf:
+            out["conf"] = confidence_adaptor(raw5[..., c : c + 1])[..., 0]
+            c += 1
+        if with_mask:
+            m = mask_adaptor(raw5[..., c : c + 1])
+            out["non_ambiguous_mask"] = m["mask"][..., 0] > 0.5
+            out["non_ambiguous_mask_logits"] = m["logits"][..., 0]
+        return out
 
     # ----------------------------------------------------------------------
     # Geometric-prior fusion

@@ -6,6 +6,7 @@ from .dpt import DPTFeature, DPTRegressionProcessor
 from .encoders import DenseRepEncoder, GlobalRepEncoder
 from .heads import LinearFeature, MLPHead, PoseHead
 from .layers import Attention, Block, LayerScale, Mlp
+from .radio import RADIO_CONFIGS, RadioViT
 from .trunk import AlternatingAttentionTrunk, GlobalAttentionTrunk
 
 __all__ = [
@@ -26,4 +27,6 @@ __all__ = [
     "MLPHead",
     "Mlp",
     "PoseHead",
+    "RadioViT",
+    "RADIO_CONFIGS",
 ]

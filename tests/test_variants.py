@@ -288,3 +288,50 @@ class TestCrossTrunkVectorization:
             np.asarray(final.reshape(b, v, p, c)), np.asarray(expected_n),
             rtol=2e-5, atol=2e-5,
         )
+
+
+class TestSceneRepFamilies:
+    """All 5 reference adaptor families compile and emit the right keys
+    (reference model.py:407-586, 1620-1907)."""
+
+    @pytest.mark.parametrize("srt,expect,absent", [
+        ("pointmap", ["pts3d"], ["cam_quats", "conf"]),
+        ("raymap+depth+confidence",
+         ["pts3d", "ray_origins", "ray_directions", "depth_along_ray",
+          "conf"], ["cam_quats", "non_ambiguous_mask"]),
+        ("pointmap+raydirs+depth+pose+confidence+mask",
+         ["pts3d", "pts3d_cam", "ray_directions", "depth_along_ray",
+          "cam_trans", "cam_quats", "conf", "non_ambiguous_mask"], []),
+    ])
+    def test_family_contract(self, srt, expect, absent):
+        from mapanything_tpu.models import images_only_config
+        from mapanything_tpu.models.mapanything import dense_dim_for
+
+        cfg = MapAnythingConfig(
+            scene_rep_type=srt, dense_output_dim=dense_dim_for(srt),
+            **tiny_overrides(),
+        )
+        model = MapAnything(cfg=cfg)
+        views = {"img": jnp.ones((1, 2, 28, 28, 3)) * 0.1}
+        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        out = model.apply(params, views, images_only_config())
+        for k in expect:
+            assert k in out, k
+            assert np.isfinite(np.asarray(out[k], dtype=np.float32)).all(), k
+        for k in absent:
+            assert k not in out, k
+        assert out["pts3d"].shape == (1, 2, 28, 28, 3)
+        # pose head params only exist for pose families
+        has_pose_params = "pose_head" in params["params"]
+        assert has_pose_params == srt.replace("+confidence", "").replace(
+            "+mask", "").endswith("pose")
+
+    def test_wrong_dense_dim_rejected(self):
+        cfg = MapAnythingConfig(
+            scene_rep_type="pointmap", dense_output_dim=6,
+            **tiny_overrides(),
+        )
+        model = MapAnything(cfg=cfg)
+        with pytest.raises(ValueError, match="dense_output_dim"):
+            model.init(jax.random.PRNGKey(0),
+                       {"img": jnp.ones((1, 2, 28, 28, 3))})
