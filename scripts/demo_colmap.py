@@ -2,10 +2,11 @@
 
 Loads a folder of images, runs MapAnything inference, and writes a COLMAP
 sparse reconstruction (sparse/cameras.bin, images.bin, points3D.bin) plus a
-points.ply — the feed-forward export path. The optional bundle-adjustment
-refinement path requires pycolmap (host C++/Ceres) and is gated on its
-availability, matching the reference's role split (SURVEY.md §2.7: BA stays
-a host-side C++ dependency, out of the TPU hot path).
+points.ply — the feed-forward export path. `--ba` additionally refines
+poses/intrinsics/points with the TPU-native pipeline (the reference's
+VGGSfM-tracks + pycolmap stage, demo_colmap.py:438-487, rebuilt as
+utils/tracking.py NCC tracks + utils/ba.py jax LM bundle adjustment — no
+pycolmap/Ceres dependency, everything on device).
 
 Usage:
     python scripts/demo_colmap.py --image_folder PATH --output_dir sparse_out \
@@ -33,7 +34,10 @@ def main():
     ap.add_argument("--conf_percentile", type=float, default=10.0)
     ap.add_argument("--max_points", type=int, default=1_000_000)
     ap.add_argument("--ba", action="store_true",
-                    help="bundle-adjust with pycolmap (if installed)")
+                    help="refine with the on-device track + LM-BA path")
+    ap.add_argument("--max_query_pts", type=int, default=1024)
+    ap.add_argument("--vis_thresh", type=float, default=0.6)
+    ap.add_argument("--ba_iters", type=int, default=20)
     args = ap.parse_args()
 
     import jax
@@ -111,13 +115,76 @@ def main():
           f"-> {sparse_dir}")
 
     if args.ba:
-        try:
-            import pycolmap  # noqa: F401
-        except ImportError:
-            print("pycolmap not installed — skipping bundle adjustment "
-                  "(feed-forward export only)")
+        # TPU-native BA path (reference demo_colmap.py:438-487 uses VGGSfM
+        # tracks + pycolmap; here both stages run on-device in jax —
+        # tracking.py NCC tracker + ba.py LM/Schur bundle adjustment).
+        from mapanything_tpu.geometry import rotation_matrix_to_quaternion
+        from mapanything_tpu.utils.ba import BAProblem, bundle_adjust
+        from mapanything_tpu.utils.tracking import (
+            select_query_points,
+            to_gray,
+            track_points,
+        )
+
+        imgs = np.stack([np.asarray(p["img_no_norm"][0]) for p in preds])
+        if "conf" in preds[0]:
+            conf0 = np.asarray(preds[0]["conf"][0])
         else:
-            print("pycolmap BA refinement not wired in this environment")
+            conf0 = np.ones(imgs.shape[1:3], np.float32)
+
+        q_yx, _ = select_query_points(
+            jnp.asarray(conf0), to_gray(jnp.asarray(imgs[0])),
+            args.max_query_pts,
+        )
+        tracks_yx, vis = track_points(jnp.asarray(imgs), q_yx)
+        tracks_xy = np.asarray(tracks_yx)[..., ::-1].copy()
+        vis = np.asarray(vis)
+        track_mask = vis > args.vis_thresh
+
+        qi = np.asarray(q_yx).astype(int)
+        pts3d0 = np.asarray(preds[0]["pts3d"][0])
+        ba_points = pts3d0[qi[:, 0], qi[:, 1]]
+        point_rgb = (imgs[0][qi[:, 0], qi[:, 1]] * 255).astype(np.uint8)
+
+        w2c = np.linalg.inv(poses)
+        quats0 = np.asarray(
+            rotation_matrix_to_quaternion(jnp.asarray(w2c[:, :3, :3]))
+        )
+        intr0 = np.array([intrinsics[0, 0, 0], intrinsics[0, 1, 1],
+                          intrinsics[0, 0, 2], intrinsics[0, 1, 2]],
+                         np.float32)
+
+        prob = BAProblem(
+            tracks=jnp.asarray(tracks_xy),
+            track_mask=jnp.asarray(track_mask),
+            base_quats=jnp.asarray(quats0),
+            base_trans=jnp.asarray(w2c[:, :3, 3]),
+            intrinsics=jnp.asarray(intr0),
+            points=jnp.asarray(ba_points),
+        )
+        out = bundle_adjust(prob, iters=args.ba_iters)
+        print(f"BA: rms {float(out['rms_before']):.2f} px -> "
+              f"{float(out['rms_after']):.2f} px over "
+              f"{int(track_mask.sum())} observations")
+
+        # refined cam-from-world -> cam2world for export
+        from mapanything_tpu.geometry import (
+            pose_quats_trans_to_matrix,
+        )
+
+        w2c_ref = np.asarray(pose_quats_trans_to_matrix(
+            out["cam_quats"], out["cam_trans"]
+        ))
+        c2w_ref = np.linalg.inv(w2c_ref)
+        fx, fy, cx, cy = np.asarray(out["intrinsics"])
+        K_ref = np.stack([np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]],
+                                   np.float32)] * v)
+        ba_dir = os.path.join(args.output_dir, "sparse_ba")
+        export_colmap_reconstruction(
+            ba_dir, K_ref, c2w_ref, sizes, names,
+            np.asarray(out["points"]), point_rgb,
+        )
+        print(f"wrote BA-refined reconstruction -> {ba_dir}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,169 @@
+"""Tracking + bundle-adjustment tests (the TPU-native --ba path of
+demo_colmap, replacing reference VGGSfM tracks + pycolmap BA)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.utils.ba import BAProblem, bundle_adjust
+from mapanything_tpu.utils.tracking import (
+    select_query_points,
+    to_gray,
+    track_points,
+)
+
+
+def _smooth(x, it=2):
+    for _ in range(it):
+        x = (x + np.roll(x, 1, 0) + np.roll(x, -1, 0)
+             + np.roll(x, 1, 1) + np.roll(x, -1, 1)) / 5.0
+    return x
+
+
+class TestTracker:
+    def test_integer_shift_recovered(self):
+        rng = np.random.default_rng(0)
+        img0 = _smooth(rng.uniform(0, 1, (80, 100)).astype(np.float32), 3)
+        img1 = np.roll(np.roll(img0, 3, axis=0), -5, axis=1)
+        imgs = np.stack([img0, img1])[..., None].repeat(3, axis=-1)
+        q = jnp.asarray([[40.0, 50.0], [30.0, 60.0], [55.0, 30.0]])
+        tracks, vis = track_points(jnp.asarray(imgs), q, patch=11,
+                                   radius=4, levels=2)
+        expected = np.asarray(q) + np.array([3.0, -5.0])
+        err = np.abs(np.asarray(tracks[1]) - expected).max()
+        assert err < 0.5, err
+        assert np.all(np.asarray(vis[1]) > 0.8)
+        # query frame tracks itself
+        np.testing.assert_allclose(np.asarray(tracks[0]), np.asarray(q),
+                                   atol=0.1)
+
+    def test_query_selection_spreads(self):
+        rng = np.random.default_rng(1)
+        gray = jnp.asarray(rng.uniform(0, 1, (64, 96)).astype(np.float32))
+        pts, vals = select_query_points(jnp.ones((64, 96)), gray, 12,
+                                        border=4, cell=16)
+        assert pts.shape == (12, 2)
+        p = np.asarray(pts)
+        assert p[:, 0].min() >= 4 and p[:, 0].max() < 60
+        # no duplicate cells
+        cells = {(int(y) // 16, int(x) // 16) for y, x in p}
+        assert len(cells) == 12
+
+    def test_gray(self):
+        img = jnp.ones((2, 4, 4, 3))
+        assert np.allclose(np.asarray(to_gray(img)), 1.0, atol=1e-5)
+
+
+def _quat_rand(rng, eps):
+    a = rng.normal(size=3) * eps
+    th = np.linalg.norm(a)
+    if th < 1e-9:
+        return np.array([0, 0, 0, 1.0], np.float32)
+    xyz = a / th * np.sin(th / 2)
+    return np.array([*xyz, np.cos(th / 2)], np.float32)
+
+
+def _quat_mat(q):
+    x, y, z, w = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ], np.float32)
+
+
+def _quat_mul_np(q1, q2):
+    x1, y1, z1, w1 = q1
+    x2, y2, z2, w2 = q2
+    return np.array([
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+    ], np.float32)
+
+
+class TestBundleAdjust:
+    def _make_problem(self, rng, F=5, P=60, noise_px=0.1, perturb=0.02,
+                      drop=0.1):
+        pts = rng.uniform(-1, 1, (P, 3)).astype(np.float32)
+        pts[:, 2] += 4.0
+        fx, fy, cx, cy = 300.0, 310.0, 160.0, 120.0
+        qs, ts, tracks = [], [], []
+        for _f in range(F):
+            q = _quat_rand(rng, 0.1)
+            t = rng.normal(size=3).astype(np.float32) * 0.2
+            qs.append(q)
+            ts.append(t)
+            pc = pts @ _quat_mat(q).T + t
+            uv = np.stack([fx * pc[:, 0] / pc[:, 2] + cx,
+                           fy * pc[:, 1] / pc[:, 2] + cy], -1)
+            tracks.append(uv + rng.normal(size=uv.shape) * noise_px)
+        tracks = np.stack(tracks).astype(np.float32)
+        qs0 = np.stack([_quat_mul_np(_quat_rand(rng, perturb), q)
+                        for q in qs])
+        ts0 = np.stack(ts) + rng.normal(size=(F, 3)).astype(
+            np.float32) * perturb
+        pts0 = pts + rng.normal(size=pts.shape).astype(np.float32) * 0.03
+        mask = rng.uniform(size=(F, P)) > drop
+        mask[0] = True
+        return BAProblem(
+            tracks=jnp.asarray(tracks),
+            track_mask=jnp.asarray(mask),
+            base_quats=jnp.asarray(qs0),
+            base_trans=jnp.asarray(ts0),
+            intrinsics=jnp.asarray([fx, fy, cx, cy]),
+            points=jnp.asarray(pts0),
+        ), (np.stack(qs), np.stack(ts))
+
+    def test_convergence(self):
+        rng = np.random.default_rng(0)
+        prob, (qs_true, _) = self._make_problem(rng)
+        out = bundle_adjust(prob, iters=25)
+        before = float(out["rms_before"])
+        after = float(out["rms_after"])
+        assert after < 0.25, (before, after)
+        assert after < before / 8
+        # intrinsics recovered to <1%
+        np.testing.assert_allclose(
+            np.asarray(out["intrinsics"]),
+            np.array([300.0, 310.0, 160.0, 120.0]), rtol=0.01,
+        )
+        # BA has gauge freedom (a global similarity is unconstrained), so
+        # compare RELATIVE rotations frame f vs frame 0 against the truth.
+        def rel(qa, qb):  # qa * qb^-1
+            conj = qb * np.array([-1, -1, -1, 1], np.float32)
+            return _quat_mul_np(qa, conj)
+
+        q_ref = np.asarray(out["cam_quats"])
+        for f in range(1, qs_true.shape[0]):
+            r_est = rel(q_ref[f], q_ref[0])
+            r_true = rel(qs_true[f], qs_true[0])
+            dot = abs(float(np.dot(r_est, r_true)))
+            ang = 2 * np.arccos(min(dot, 1.0))
+            assert ang < np.deg2rad(0.5), (f, np.rad2deg(ang))
+
+    def test_fixed_intrinsics(self):
+        rng = np.random.default_rng(1)
+        prob, _ = self._make_problem(rng)
+        out = bundle_adjust(prob, iters=15, optimize_intrinsics=False)
+        np.testing.assert_array_equal(
+            np.asarray(out["intrinsics"]),
+            np.asarray(prob.intrinsics),
+        )
+        assert float(out["rms_after"]) < float(out["rms_before"])
+
+    def test_outliers_downweighted(self):
+        rng = np.random.default_rng(2)
+        prob, _ = self._make_problem(rng, noise_px=0.05)
+        # corrupt 5% of observations by 50 px
+        tracks = np.asarray(prob.tracks).copy()
+        bad = rng.uniform(size=tracks.shape[:2]) < 0.05
+        tracks[bad] += 50.0
+        prob = prob._replace(tracks=jnp.asarray(tracks))
+        out = bundle_adjust(prob, iters=25, huber_px=2.0)
+        # robust loss keeps inlier fit reasonable despite outliers: refined
+        # rotations stay within 1 degree
+        assert float(out["rms_after"]) < float(out["rms_before"])
