@@ -140,8 +140,14 @@ def train(
     loss_cfg: OverallLossConfig = OverallLossConfig(),
     test_loaders: Optional[Dict[str, Any]] = None,
     init_params=None,
+    mesh=None,
 ):
-    """Run the full training loop. Returns the final TrainState."""
+    """Run the full training loop. Returns the final TrainState.
+
+    With `mesh` (a ("data", "model") jax.sharding.Mesh, parallel/mesh.py),
+    params are placed by the partition rules and every batch is data-sharded
+    before the step — GSPMD inserts the DP psum / TP collectives
+    (SURVEY.md §2.5; validated by __graft_entry__.dryrun_multichip)."""
     os.makedirs(loop_cfg.output_dir, exist_ok=True)
     log_path = os.path.join(loop_cfg.output_dir, "log.txt")
 
@@ -154,6 +160,12 @@ def train(
     if init_params is None:
         init_params = model.init(rng, views0, geom_cfg,
                                  rng=jax.random.PRNGKey(1))
+    if mesh is not None:
+        from ..parallel import shard_params
+
+        # optimizer moments inherit the param placements (zeros_like keeps
+        # shardings), so sharding before create_train_state covers opt_state
+        init_params = shard_params(init_params, mesh)
     state = create_train_state(model, init_params, optim_cfg)
 
     # --- resume (training.py:213-224) ---
@@ -191,7 +203,7 @@ def train(
         # ---- train one epoch (training.py:386) ----
         state, rng = train_one_epoch(
             model, state, train_step, train_loader, epoch, loop_cfg, rng,
-            log_path,
+            log_path, mesh=mesh,
         )
 
         # ---- checkpoints (training.py:237-285) ----
@@ -206,7 +218,7 @@ def train(
 
 
 def train_one_epoch(model, state, train_step, loader, epoch, loop_cfg, rng,
-                    log_path):
+                    log_path, mesh=None):
     logger = MetricLogger()
     loader.set_epoch(epoch)
     n_steps = 0
@@ -231,6 +243,8 @@ def train_one_epoch(model, state, train_step, loader, epoch, loop_cfg, rng,
     for i, batch in logger.log_every(loader, loop_cfg.print_freq,
                                      header=f"Epoch [{epoch}]"):
         jbatch = jax.tree_util.tree_map(jnp.asarray, batch)
+        if mesh is not None:
+            jbatch = _global_batch(jbatch, mesh)
         n_views = jbatch["views"]["img"].shape[1]
         rng, step_rng = jax.random.split(rng)
         state, metrics = train_step(state, jbatch, step_rng)
@@ -251,6 +265,24 @@ def train_one_epoch(model, state, train_step, loader, epoch, loop_cfg, rng,
             "steps": n_steps,
         }) + "\n")
     return state, rng
+
+
+def _global_batch(jbatch, mesh):
+    """Data-shard a host batch over the mesh. Single-process: placement via
+    NamedSharding; multi-host: each process's local shard is assembled into
+    one global array (the jax replacement for DistributedSampler+NCCL)."""
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as _P
+
+        return multihost_utils.host_local_array_to_global_array(
+            jbatch, mesh, _P("data")
+        )
+    from ..parallel import shard_batch
+
+    return shard_batch(jbatch, mesh)
 
 
 def test_one_epoch(model, params, loader, loss_cfg, epoch=0, name="val"):

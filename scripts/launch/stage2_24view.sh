@@ -1,0 +1,12 @@
+#!/usr/bin/env bash
+# Stage-2 curriculum: 24-view training, resumes stage-1 checkpoints
+# (reference mapa_curri_24v_13d_48ipg_64g.sh role).
+set -euo pipefail
+WAI_ROOT=${WAI_ROOT:-/data/wai}
+OUT=${OUT:-./out/mapa_curri}
+python scripts/train.py \
+  --wai_root "$WAI_ROOT" \
+  --dataset_spec "$(tr '\n' ' ' < "$(dirname "$0")/mix_13d_24view.txt")" \
+  --max_imgs_per_device 48 --epochs 40 --lr 2e-4 --encoder_lr_scale 0.05 \
+  --warmup_steps 0 --total_steps 200000 \
+  --task aug_training --output_dir "$OUT" "$@"

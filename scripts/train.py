@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--task", default="aug_training",
                     choices=["aug_training", "images_only"])
     ap.add_argument("--cpu", action="store_true", help="force CPU devices")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel width (mesh 'model' axis)")
+    ap.add_argument("--single_device", action="store_true",
+                    help="skip mesh sharding even with multiple devices")
     args = ap.parse_args()
 
     import jax
@@ -49,6 +53,15 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+
+    # Multi-host bootstrap: no-op single-process unless coordinator env vars
+    # are set (JAX_COORDINATOR_ADDRESS/... or torchrun-style MASTER_ADDR).
+    from mapanything_tpu.parallel.distributed import (
+        init_distributed,
+        is_main_process,
+    )
+
+    dist = init_distributed()
 
     from mapanything_tpu.data.loader import (
         get_test_data_loader,
@@ -67,23 +80,39 @@ def main():
         train,
     )
 
-    print(f"devices: {jax.devices()}")
+    print(f"process {dist['process_id']}/{dist['num_processes']}, "
+          f"devices: {jax.devices()}")
+
+    mesh = None
+    if not args.single_device and (len(jax.devices()) > 1 or args.tp > 1):
+        from mapanything_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_model=args.tp)
+        print(f"mesh: {mesh.shape}")
 
     dataset = build_dataset_mix(args.dataset_spec, wai_root=args.wai_root)
+    # Per-DEVICE image budget: in single-controller mode one process feeds
+    # every data-axis shard, so the host batch is n_data x the per-device
+    # budget (multi-process mode contributes one local batch per process).
+    imgs_budget = args.max_imgs_per_device
+    if mesh is not None and dist["num_processes"] == 1:
+        imgs_budget *= mesh.shape["data"]
     train_loader = get_train_data_loader(
-        dataset, max_num_of_imgs_per_gpu=args.max_imgs_per_device,
+        dataset, max_num_of_imgs_per_gpu=imgs_budget,
+        world_size=dist["num_processes"], rank=dist["process_id"],
         num_workers=args.num_workers,
     )
     test_loaders = None
-    if args.val_dataset_spec:
+    if args.val_dataset_spec and is_main_process():
         val_ds = build_dataset_mix(args.val_dataset_spec, wai_root=args.wai_root)
         test_loaders = {"val": get_test_data_loader(val_ds, batch_size=2,
                                                     num_workers=args.num_workers)}
 
     if args.tiny:
         cfg = MapAnythingConfig(
-            encoder_size="small", trunk_dim=384, trunk_depth=4,
-            trunk_num_heads=6, trunk_indices=(1, 2), dpt_feature_dim=32,
+            encoder_size="test", trunk_dim=64, trunk_depth=4,
+            trunk_num_heads=2, trunk_indices=(1, 2), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
             dtype=jnp.float32,
         )
     else:
@@ -107,6 +136,7 @@ def main():
         ),
         geom_cfg=geom_cfg,
         test_loaders=test_loaders,
+        mesh=mesh,
     )
     print("training finished")
 
