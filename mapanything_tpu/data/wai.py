@@ -52,12 +52,11 @@ def _load_depth(path: Path) -> np.ndarray:
     if suffix == ".npy":
         return np.load(path).astype(np.float32)
     if suffix == ".exr":
-        import cv2
+        # pure-Python codec (data/exr.py) — this environment's cv2 ships
+        # without the EXR codec and OpenEXR/imageio are absent
+        from .exr import read_exr
 
-        os.environ.setdefault("OPENCV_IO_ENABLE_OPENEXR", "1")
-        d = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
-        if d is None:
-            raise IOError(f"failed to read EXR {path}")
+        d = read_exr(path)
         if d.ndim == 3:
             d = d[..., 0]
         return d.astype(np.float32)
@@ -138,3 +137,151 @@ def load_frame(
             else:
                 out[modality] = np.asarray(PIL.Image.open(path))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Writer / format-dispatch surface (reference wai/core.py:32-77 load_data /
+# store_data and io.py per-format _store_* handlers). Host-side by design.
+# ---------------------------------------------------------------------------
+
+def _depth_format(path: Path) -> str:
+    return path.suffix.lower().lstrip(".")
+
+
+def store_data(path: Union[str, Path], data: Any,
+               format_type: Optional[str] = None) -> Path:
+    """Write `data` in a WAI on-disk format, dispatched on format_type (or
+    the file extension). Formats: image | depth | binary | numpy | mmap |
+    readable (json). Ref: wai/core.py:55, io.py:145-797."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fmt = format_type or {
+        ".png": "image", ".jpg": "image", ".jpeg": "image",
+        ".exr": "depth", ".npy": "numpy", ".json": "readable",
+    }.get(path.suffix.lower(), None)
+    if fmt is None:
+        raise ValueError(f"cannot infer format for {path}")
+
+    if fmt == "readable":
+        with open(path, "w") as f:
+            json.dump(data, f, indent=1)
+    elif fmt == "image":
+        arr = np.asarray(data)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        PIL.Image.fromarray(arr).save(path)
+    elif fmt == "binary":
+        arr = np.asarray(data).astype(bool)
+        PIL.Image.fromarray(arr.astype(np.uint8) * 255).save(path)
+    elif fmt == "depth":
+        arr = np.asarray(data, np.float32)
+        sfx = _depth_format(path)
+        if sfx == "npy":
+            np.save(path, arr)
+        elif sfx == "exr":
+            from .exr import write_exr
+
+            write_exr(path, arr)
+        elif sfx == "png":  # 16-bit mm-encoded png
+            mm = np.clip(arr * _DEPTH_SCALE_PNG16, 0, 65535).astype(np.uint16)
+            PIL.Image.fromarray(mm).save(path)
+        else:
+            raise ValueError(f"unsupported depth ext: {path}")
+    elif fmt == "numpy":
+        np.save(path, np.asarray(data))
+    elif fmt == "mmap":
+        np.save(path, np.asarray(data))  # np.load(..., mmap_mode) reads it
+    else:
+        raise ValueError(f"unknown format_type {fmt!r}")
+    return path
+
+
+def load_data(path: Union[str, Path], format_type: Optional[str] = None):
+    """Read counterpart of store_data (reference wai/core.py:32)."""
+    path = Path(path)
+    fmt = format_type or {
+        ".png": "image", ".jpg": "image", ".jpeg": "image",
+        ".exr": "depth", ".npy": "numpy", ".json": "readable",
+    }.get(path.suffix.lower(), None)
+    if fmt == "readable":
+        with open(path) as f:
+            return json.load(f)
+    if fmt == "image":
+        return np.asarray(PIL.Image.open(path).convert("RGB"), np.uint8)
+    if fmt == "binary":
+        return np.asarray(PIL.Image.open(path)).astype(bool)
+    if fmt == "depth":
+        return _load_depth(path)
+    if fmt == "numpy":
+        return np.load(path)
+    if fmt == "mmap":
+        return np.load(path, mmap_mode="r")
+    raise ValueError(f"unknown format_type {fmt!r} for {path}")
+
+
+def set_frame(scene_meta: Dict[str, Any], frame_name: str,
+              frame: Dict[str, Any]) -> None:
+    """Insert/replace a frame record in scene_meta (wai/core.py:446)."""
+    names = scene_meta.setdefault("frame_names", {})
+    frame = dict(frame, frame_name=frame_name)
+    if frame_name in names:
+        scene_meta["frames"][names[frame_name]] = frame
+    else:
+        names[frame_name] = len(scene_meta.get("frames", []))
+        scene_meta.setdefault("frames", []).append(frame)
+
+
+def write_scene(
+    scene_root: Union[str, Path],
+    frames: List[Dict[str, Any]],
+    intrinsics: Dict[str, float],
+    covisibility: Optional[np.ndarray] = None,
+    depth_format: str = "npy",
+    scene_meta_extra: Optional[Dict[str, Any]] = None,
+) -> Path:
+    """Serialize a scene into the WAI on-disk layout.
+
+    Each frame dict: {"frame_name", "image" (H,W,3), "depth" (H,W),
+    "transform_matrix" (4,4) opencv cam2world, optional "masks": {name:
+    bool (H,W)}}. `intrinsics`: fx/fy/cx/cy (+ w/h). The inverse of this
+    reader module — gives the framework the offline data_processing writer
+    role for WAI conversion (reference data_processing/*, wai io.py
+    writers)."""
+    scene_root = Path(scene_root)
+    meta: Dict[str, Any] = {
+        "scene_name": scene_root.name,
+        "camera_model": "PINHOLE",
+        **intrinsics,
+        "frames": [],
+        "frame_names": {},
+        "frame_modalities": {
+            "image": {"frame_key": "image", "format": "image"},
+            "depth": {"frame_key": "depth", "format": "depth"},
+        },
+        **(scene_meta_extra or {}),
+    }
+    for fr in frames:
+        name = fr["frame_name"]
+        img_rel = f"images/{name}.png"
+        depth_rel = f"depth/{name}.{depth_format}"
+        store_data(scene_root / img_rel, fr["image"], "image")
+        store_data(scene_root / depth_rel, fr["depth"], "depth")
+        rec = {
+            "transform_matrix": np.asarray(fr["transform_matrix"],
+                                           np.float64).tolist(),
+            "image": img_rel,
+            "depth": depth_rel,
+        }
+        for mname, m in (fr.get("masks") or {}).items():
+            rel = f"{mname}/{name}.png"
+            store_data(scene_root / rel, m, "binary")
+            rec[mname] = rel
+            meta["frame_modalities"].setdefault(
+                mname, {"frame_key": mname, "format": "binary"}
+            )
+        set_frame(meta, name, rec)
+    if covisibility is not None:
+        store_data(scene_root / "covisibility" / "v0" / "covis.npy",
+                   covisibility, "mmap")
+    store_data(scene_root / "scene_meta.json", meta, "readable")
+    return scene_root

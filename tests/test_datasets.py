@@ -331,3 +331,59 @@ class TestQuirkPipeline:
         # low-confidence left half zeroed (moge strip is inside it too)
         assert (d[6:, : W // 2] == 0).all()
         assert d[6:, W // 2 :].any()
+
+
+class TestWAIWriter:
+    """Writer surface roundtrip (reference wai/core.py store_data + io.py
+    writers): write_scene output is readable by the full dataset stack."""
+
+    def test_roundtrip_through_dataset(self, tmp_path):
+        from mapanything_tpu.data.wai import load_data, store_data, write_scene
+
+        rng = np.random.default_rng(5)
+        n = 4
+        frames = []
+        for i in range(n):
+            pose = np.eye(4)
+            pose[:3, 3] = [0.2 * i, 0, 0]
+            frames.append({
+                "frame_name": f"f{i}",
+                "image": rng.integers(0, 255, (H, W, 3), dtype=np.uint8),
+                "depth": rng.uniform(1, 4, (H, W)).astype(np.float32),
+                "transform_matrix": pose,
+            })
+        root = tmp_path / "scene_w"
+        write_scene(root, frames,
+                    {"fx": 60.0, "fy": 60.0, "cx": W / 2, "cy": H / 2,
+                     "w": W, "h": H},
+                    covisibility=np.ones((n, n), np.float32))
+
+        ds = WAIDataset(
+            ROOT=str(tmp_path), spec="eth3d", num_views=2,
+            covisibility_thres=0.25, resolution=(56, 42),
+            data_norm_type="dinov2", seed=1,
+        )
+        views = ds[0]
+        assert views[0]["img"].shape == (42, 56, 3)
+        assert np.isfinite(views[0]["depthmap"]).all()
+
+    def test_depth_format_roundtrips(self, tmp_path):
+        from mapanything_tpu.data.wai import load_data, store_data
+
+        rng = np.random.default_rng(6)
+        d = rng.uniform(0.5, 8.0, (20, 30)).astype(np.float32)
+        for ext, atol in [("npy", 0.0), ("exr", 1e-6), ("png", 1e-3)]:
+            p = tmp_path / f"d.{ext}"
+            store_data(p, d, "depth")
+            back = load_data(p, "depth")
+            np.testing.assert_allclose(back, d, atol=max(atol, 1e-7))
+
+    def test_binary_and_readable(self, tmp_path):
+        from mapanything_tpu.data.wai import load_data, store_data
+
+        m = np.zeros((8, 9), bool)
+        m[2:5, 3:7] = True
+        store_data(tmp_path / "m.png", m, "binary")
+        assert np.array_equal(load_data(tmp_path / "m.png", "binary"), m)
+        store_data(tmp_path / "meta.json", {"a": [1, 2]}, "readable")
+        assert load_data(tmp_path / "meta.json") == {"a": [1, 2]}
