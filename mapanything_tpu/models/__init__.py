@@ -43,6 +43,11 @@ from .modular_dust3r import ModularDUSt3R, ModularDUSt3RConfig
 MODEL_CONFIGS["modular_dust3r"] = ModularDUSt3RConfig
 
 
+from .pretrained import from_pretrained  # noqa: E402
+
+__all__.append("from_pretrained")
+
+
 def mapanything_ablations_config(**overrides) -> "MapAnythingConfig":
     """MapAnythingAblations preset (reference ablations.py:78): no scale
     token, optional RoPE trunk positional encoding."""

@@ -200,3 +200,51 @@ class TestPairedTrunkLayout:
             np.testing.assert_array_equal(a, b)
         assert "norm_intermediate_1" in paired_blocks
         assert "norm_intermediate_3" in paired_blocks
+
+
+class TestFromPretrained:
+    """from_pretrained local-checkpoint entry (reference HF quickstart,
+    model.py:590-620)."""
+
+    def test_safetensors_snapshot_dir(self, mirror, tmp_path):
+        from safetensors.torch import save_file
+
+        from mapanything_tpu.models.pretrained import from_pretrained
+
+        # drop the dense_head.* Sequential aliases: safetensors refuses
+        # shared tensors (HF hub checkpoints de-dup them the same way)
+        sd = {k: v.contiguous() for k, v in mirror.state_dict().items()
+              if not k.startswith("dense_head.")}
+        snap = tmp_path / "hf_snapshot"
+        snap.mkdir()
+        save_file(sd, str(snap / "model.safetensors"))
+
+        model, params = from_pretrained(
+            str(snap), dtype=jnp.float32,
+            config_overrides=dict(
+                encoder_size="small", trunk_indices=INDICES,
+                dpt_feature_dim=64,
+            ),
+        )
+        assert model.cfg.trunk_depth == 4  # inferred from tensor shapes
+        # the loaded params drive a forward pass
+        x = np.random.default_rng(0).standard_normal(
+            (1, 2, 28, 28, 3)).astype(np.float32) * 0.3
+        out = model.apply(params, {"img": jnp.asarray(x)},
+                          images_only_config())
+        assert np.isfinite(np.asarray(out["pts3d"])).all()
+
+    def test_strict_rejects_unknown_keys(self, mirror, tmp_path):
+        from safetensors.torch import save_file
+
+        from mapanything_tpu.models.pretrained import from_pretrained
+
+        sd = {k: v.contiguous() for k, v in mirror.state_dict().items()
+              if not k.startswith("dense_head.")}
+        sd["mystery.weight"] = torch.zeros(3)
+        f = tmp_path / "bad.safetensors"
+        save_file(sd, str(f))
+        with pytest.raises(ValueError, match="no conversion rule"):
+            from_pretrained(str(f), config_overrides=dict(
+                encoder_size="small", trunk_indices=INDICES,
+                dpt_feature_dim=64))
