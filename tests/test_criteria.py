@@ -413,7 +413,7 @@ class TestComposition:
         def f(p):
             return ours(batch, p)[0]
 
-        grads = jax.grad(f)(preds)
+        grads = jax.jit(jax.grad(f))(preds)
         flat = jax.tree_util.tree_leaves(grads)
         assert all(bool(jnp.all(jnp.isfinite(g))) for g in flat)
         assert any(float(jnp.abs(g).max()) > 0 for g in flat)

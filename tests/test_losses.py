@@ -105,7 +105,7 @@ class TestFactoredLoss:
             p["pts3d_cam"] = p["ray_directions"] * depth
             return overall_loss(gt, p)[0]
 
-        g = jax.grad(f)(preds["depth_along_ray"] * 1.1)
+        g = jax.jit(jax.grad(f))(preds["depth_along_ray"] * 1.1)
         assert bool(jnp.isfinite(g).all())
         assert float(jnp.abs(g).max()) > 0
 
@@ -137,7 +137,7 @@ class TestFactoredLoss:
             )
             return geo
 
-        g = jax.grad(f)(jnp.asarray([2.0]))
+        g = jax.jit(jax.grad(f))(jnp.asarray([2.0]))
         assert abs(float(g[0])) < 1e-4, "geometry loss should not depend on scale"
 
 

@@ -23,9 +23,9 @@ from mapanything_tpu.utils.inference import (
 TINY = MapAnythingConfig(
     encoder_size="test",
     trunk_dim=64,
-    trunk_depth=4,
+    trunk_depth=2,
     trunk_num_heads=2,
-    trunk_indices=(1, 2),
+    trunk_indices=(0, 1),
     dpt_feature_dim=32,
     dpt_out_channels=(32, 32, 32, 32),
     dpt_hidden_dims=(16, 8),

@@ -20,8 +20,8 @@ B, V, H, W = 1, 2, 28, 42
 
 
 def tiny_overrides():
-    return dict(encoder_size="test", trunk_dim=64, trunk_depth=4,
-                trunk_num_heads=2, trunk_indices=(1, 2), dpt_feature_dim=32,
+    return dict(encoder_size="test", trunk_dim=64, trunk_depth=2,
+                trunk_num_heads=2, trunk_indices=(0, 1), dpt_feature_dim=32,
                 dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
                 dtype=jnp.float32)
 
@@ -228,8 +228,8 @@ class TestInfoSharingTypes:
         geom = images_only_config()
         params = model.init(jax.random.PRNGKey(0), batch["views"], geom)
         state = create_train_state(model, params, OptimConfig())
-        step = make_train_step(model, geom,
-                               OverallLossConfig(use_normal_gm=False))
+        step = jax.jit(make_train_step(model, geom,
+                               OverallLossConfig(use_normal_gm=False)))
         state2, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["grad_norm"]) > 0
