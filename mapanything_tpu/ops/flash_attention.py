@@ -91,19 +91,20 @@ def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]
     # The softmax chain is VMEM-BANDWIDTH-bound on the (bq, bk) score
-    # matrix, not ALU-bound — keeping S/P in bf16 halves every pass's
-    # traffic. Only the m subtraction and the l sum are precision-critical:
-    # max-sub cancels exactly in bf16 near the peak, and l accumulates in
-    # fp32 via the reduce's accumulator (no extra fp32 copy of P).
+    # matrix, not ALU-bound — for bf16 inputs, keeping S/P in bf16 halves
+    # every pass's traffic (the max-sub cancels exactly near the peak and
+    # l accumulates fp32 in the reduce). fp32 inputs keep an fp32 chain so
+    # fp32 model configs lose no accuracy.
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,  # Mosaic requires fp32 acc
-    ).astype(jnp.bfloat16)  # cast in the epilogue -> S stored bf16
+    ).astype(s_dtype)  # cast in the epilogue -> S stored bf16 when serving
     if kv_len != s.shape[1]:  # ragged tail: additive (1, bk) bias row
         col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
         s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2((s - m).astype(jnp.float32)).astype(jnp.bfloat16)
+    p = jnp.exp2((s - m).astype(jnp.float32)).astype(s_dtype)
     l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
