@@ -244,3 +244,56 @@ class WAIDataset(BaseDataset):
 def make_wai_dataset(name: str, **kwargs) -> WAIDataset:
     """Factory: make_wai_dataset('eth3d', ROOT=..., num_views=4, ...)."""
     return WAIDataset(spec=WAI_DATASET_SPECS[name], **kwargs)
+
+
+if __name__ == "__main__":
+    # Dataloader smoke test with visualization — the reference's documented
+    # per-dataset QA step (train.md:10-20: "python mapanything/datasets/wai/
+    # eth3d.py --viz"); rerun-sdk is absent here so the sample is written as
+    # a GLB point cloud instead.
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", required=True, help="WAI dataset root")
+    ap.add_argument("--spec", default="eth3d",
+                    choices=sorted(WAI_DATASET_SPECS))
+    ap.add_argument("--num_views", type=int, default=4)
+    ap.add_argument("--resolution", type=int, nargs=2, default=(518, 392))
+    ap.add_argument("--viz", action="store_true",
+                    help="write the first sample as sample.glb")
+    ap.add_argument("--num_samples", type=int, default=3)
+    args = ap.parse_args()
+
+    ds = WAIDataset(
+        ROOT=args.root, spec=args.spec, num_views=args.num_views,
+        covisibility_thres=0.25, resolution=tuple(args.resolution),
+        data_norm_type="dinov2", seed=0,
+    )
+    print(f"{args.spec}: {len(ds)} scenes")
+    for i in range(min(args.num_samples, len(ds))):
+        views = ds[i]
+        v0 = views[0]
+        print(f"sample {i}: {len(views)} views, img {v0['img'].shape}, "
+              f"depth [{float(np.min(v0['depthmap'])):.2f}, "
+              f"{float(np.max(v0['depthmap'])):.2f}], "
+              f"valid {float(np.mean(v0['valid_mask'])):.1%}, "
+              f"scene {v0['label']}")
+    if args.viz:
+        from ..utils.viz import write_glb_pointcloud
+
+        views = ds[0]
+        pts = np.concatenate([
+            v["pts3d"][np.asarray(v["valid_mask"], bool)] for v in views
+        ])
+        # un-normalize imgs for colors
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        mean, std = IMAGE_NORMALIZATION_DICT["dinov2"]
+        cols = np.concatenate([
+            np.clip(np.asarray(v["img"]) * std + mean, 0, 1)[
+                np.asarray(v["valid_mask"], bool)
+            ]
+            for v in views
+        ])
+        write_glb_pointcloud("sample.glb", pts, cols)
+        print(f"wrote sample.glb ({len(pts)} points)")
