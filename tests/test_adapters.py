@@ -162,6 +162,7 @@ class TestAdapterSeam:
 
 
 class TestRMVDAdaptor:
+    @pytest.mark.slow
     def test_end_to_end_depth_eval(self):
         from mapanything_tpu.benchmarks.rmvd import (
             RMVDAdaptor,

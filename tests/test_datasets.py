@@ -387,3 +387,59 @@ class TestWAIWriter:
         assert np.array_equal(load_data(tmp_path / "m.png", "binary"), m)
         store_data(tmp_path / "meta.json", {"a": [1, 2]}, "readable")
         assert load_data(tmp_path / "meta.json") == {"a": [1, 2]}
+
+
+class TestCovisibility:
+    """Pairwise covisibility builder (reference data_processing
+    covisibility.py) — geometric sanity on synthetic frustums."""
+
+    def test_identical_and_disjoint_views(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_pairwise_covisibility,
+        )
+
+        h = w = 48
+        depths = np.full((3, h, w), 2.0, np.float32)  # flat plane at z=2
+        K = np.array([[[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]] * 3,
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        poses[2][0, 3] = 100.0  # frame 2 far away -> no overlap
+
+        cov = compute_pairwise_covisibility(depths, K, poses,
+                                            target_size=48)
+        assert cov.shape == (3, 3)
+        assert cov[0, 1] > 0.95 and cov[1, 0] > 0.95
+        assert cov[0, 0] > 0.95
+        assert cov[0, 2] < 0.05 and cov[2, 0] < 0.05
+
+    def test_partial_overlap_monotonic(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_pairwise_covisibility,
+        )
+
+        h = w = 48
+        depths = np.full((3, h, w), 2.0, np.float32)
+        K = np.array([[[40.0, 0, w / 2], [0, 40.0, h / 2], [0, 0, 1]]] * 3,
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 3)
+        poses[1][0, 3] = 0.5   # small shift
+        poses[2][0, 3] = 1.5   # bigger shift
+        cov = compute_pairwise_covisibility(depths, K, poses,
+                                            target_size=48)
+        assert cov[0, 1] > cov[0, 2] > 0.0
+
+    def test_occlusion_breaks_covisibility(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_pairwise_covisibility,
+        )
+
+        h = w = 32
+        d0 = np.full((h, w), 4.0, np.float32)
+        d1 = np.full((h, w), 1.0, np.float32)  # a wall right in front
+        K = np.array([[[30.0, 0, w / 2], [0, 30.0, h / 2], [0, 0, 1]]] * 2,
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        cov = compute_pairwise_covisibility(
+            np.stack([d0, d1]), K, poses, target_size=32)
+        # frame 1 sees a near wall: frame 0's far points are occluded
+        assert cov[0, 1] < 0.05

@@ -80,6 +80,7 @@ class TestFactoredLoss:
             )
             assert val < 1e-3, f"{name} loss {val} not ~0 for perfect preds"
 
+    @pytest.mark.slow
     def test_overall_loss_finite_and_scaled(self):
         batch = make_synthetic_batch(B, V, H, W, seed=4)
         gt = batch["gt"]
@@ -201,6 +202,7 @@ class TestWrappers:
 
 
 class TestNormalGM:
+    @pytest.mark.slow
     def test_perfect_prediction_zero(self):
         from mapanything_tpu.train.losses import normal_gm_loss
 
@@ -228,6 +230,7 @@ class TestNormalGM:
         )
         assert float(total) == 0.0
 
+    @pytest.mark.slow
     def test_overall_loss_includes_terms(self):
         batch = make_synthetic_batch(1, 2, 16, 16, seed=9)
         gt = dict(batch["gt"])

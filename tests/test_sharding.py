@@ -92,6 +92,7 @@ class TestDistributedHelpers:
 
 
 class TestPairwisePoseLoss:
+    @pytest.mark.slow
     def test_pairwise_variant(self):
         from mapanything_tpu.train.losses import (
             FactoredGeometryConfig,

@@ -185,6 +185,7 @@ class TestTrunkOptions:
         # 4 views x 16 patches > 16-patch base -> global layers get scaled
         assert float(jnp.abs(o1 - o2).max()) > 1e-6
 
+    @pytest.mark.slow
     def test_view_pe_randomized_in_training(self):
         from mapanything_tpu.models import aug_training_config
 
@@ -211,7 +212,11 @@ class TestInfoSharingTypes:
     """VERDICT item 8: every info_sharing family is reachable from
     MapAnythingConfig and trains one step at V=4."""
 
-    @pytest.mark.parametrize("ist", ["alternating", "global", "cross"])
+    @pytest.mark.parametrize("ist", [
+        "alternating",
+        pytest.param("global", marks=pytest.mark.slow),
+        pytest.param("cross", marks=pytest.mark.slow),
+    ])
     def test_trains_one_step(self, ist):
         from mapanything_tpu.models import images_only_config
         from mapanything_tpu.train import (
@@ -243,6 +248,7 @@ class TestInfoSharingTypes:
 
 
 class TestCrossTrunkVectorization:
+    @pytest.mark.slow
     def test_masked_equals_gathered_context(self):
         """The vectorized shared-KV + key-mask cross attention must equal
         the reference's per-view gathered contexts exactly."""
