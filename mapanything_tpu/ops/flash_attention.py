@@ -47,9 +47,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
     #  * padding mask applied only in the ragged final k-block.
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]  # (bk, d)
+    # bf16 S/P for bf16 inputs (see _flash_kernel_1pass) — the fp32 m/l
+    # carry scratch keeps the online-softmax recurrence exact across blocks.
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, bk)
+    ).astype(s_dtype)  # (bq, bk)
 
     if kv_len % block_k != 0:  # static: no mask at all for aligned kv
         # Additive (1, bk) bias row instead of a per-element iota/compare/
@@ -61,11 +64,13 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     l_prev = l_ref[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp2((s.astype(jnp.float32) - m_new)).astype(s_dtype)
+    l_new = alpha * l_prev + jnp.sum(
+        p.astype(jnp.float32), axis=-1, keepdims=True
+    )
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
