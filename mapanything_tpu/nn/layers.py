@@ -32,7 +32,11 @@ class Mlp(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        # erf-GELU costs ~0.9 ms/layer on the VPU at ViT-L scale (measured:
+        # 6.41 -> 5.53 ms/layer with tanh). The tanh approximation's ~2e-3
+        # max abs error sits inside bf16 rounding noise, so the bf16
+        # serving path uses it; fp32 paths keep exact erf for torch parity.
+        x = nn.gelu(x, approximate=self.dtype == jnp.bfloat16)
         x = nn.Dense(self.out_dim, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="fc2")(x)
         return x
