@@ -160,7 +160,14 @@ def flash_attention(
     scale = d**-0.5
 
     block_q = pick_block(n, block_q)
-    block_k = pick_block(kv_len, block_k)
+    # Prefer ONE k-block whenever the whole kv fits a VMEM-safe width:
+    # the single-pass kernel then applies (no online-softmax carry). At
+    # 2816 x block_q the score tile still fits comfortably; longer kv
+    # (32/100-view global attention) takes the online multi-block path.
+    if _round_up(kv_len, 128) <= 2816:
+        block_k = _round_up(kv_len, 128)
+    else:
+        block_k = pick_block(kv_len, block_k)
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
