@@ -64,7 +64,7 @@ def main():
     dev = jax.devices()[0]
     print(f"# device: {dev}", flush=True)
 
-    cfg = MapAnythingConfig(dtype=jnp.bfloat16)
+    cfg = MapAnythingConfig(dtype=jnp.bfloat16, fold_layerscale=True)
     model = MapAnything(cfg=cfg)
     rng = np.random.default_rng(0)
 

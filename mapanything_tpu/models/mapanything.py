@@ -138,6 +138,10 @@ class MapAnythingConfig:
     patch_size: int = 14
     data_norm_type: str = "dinov2"
     encoder_gradient_checkpointing: bool = False
+    # Serving: fold the DINOv2 LayerScale gammas into proj/fc2 weights
+    # (convert with fold_layerscale=True); removes 2 elementwise passes per
+    # encoder layer. Keep False for training (gamma stays learnable).
+    fold_layerscale: bool = False
 
     trunk_dim: int = 1024
     trunk_depth: int = 24
@@ -259,6 +263,7 @@ class MapAnything(nn.Module):
                 dtype=cfg.dtype,
                 param_dtype=self.param_dtype,
                 remat=cfg.encoder_gradient_checkpointing,
+                fold_layerscale=cfg.fold_layerscale,
                 name="encoder",
             )
         elif cfg.encoder_type == "croco":

