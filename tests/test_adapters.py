@@ -231,3 +231,66 @@ class TestRMVDAdaptor:
         assert "ray_directions_cam" in v and "camera_pose_quats" in v
         with pytest.raises(ValueError):
             RMVDAdaptor(model, params, inference_conditioning="lidar")
+
+
+class TestCalibrationBenchmark:
+    """Calibration harness (benchmarks/calibration.py) with controlled
+    prediction errors."""
+
+    def test_zero_and_known_error(self, tmp_path):
+        import flax.linen as nn
+
+        from mapanything_tpu.benchmarks.calibration import (
+            ray_angular_error_deg,
+            run_calibration_benchmark,
+        )
+        from mapanything_tpu.data.synthetic import make_synthetic_batch
+
+        batch = make_synthetic_batch(2, 2, 14, 14, seed=9)
+        gt = batch["gt"]["ray_directions_cam"]
+
+        # exact prediction -> 0 deg
+        err0 = np.asarray(ray_angular_error_deg(gt, gt))
+        assert float(err0.max()) < 1e-3
+
+        # rotate every ray by exactly 5 degrees about x
+        th = np.deg2rad(5.0)
+        rot = jnp.asarray([
+            [1, 0, 0],
+            [0, np.cos(th), -np.sin(th)],
+            [0, np.sin(th), np.cos(th)],
+        ], dtype=jnp.float32)
+        rot_rays = jnp.einsum("ij,...j->...i", rot, gt)
+        err5 = np.asarray(ray_angular_error_deg(rot_rays, gt))
+        # rays with a component along the rotation axis move by < 5 deg,
+        # so the image mean sits just below the rotation angle
+        assert np.all((err5 > 4.0) & (err5 <= 5.001)), err5
+
+        # end-to-end through the harness with a stub model
+        class StubModel(nn.Module):
+            @nn.compact
+            def __call__(self, views, geom_cfg):
+                b, v, h, w, _ = views["img"].shape
+                rays = jnp.broadcast_to(
+                    jnp.asarray([0.0, 0.0, 1.0]), (b, v, h, w, 3)
+                )
+                return {"ray_directions": rays}
+
+        class OneBatchLoader:
+            def set_epoch(self, e):
+                pass
+
+            def __iter__(self):
+                gt_np = {k: np.asarray(v) for k, v in batch["gt"].items()}
+                views_np = {k: np.asarray(v)
+                            for k, v in batch["views"].items()}
+                return iter([{"views": views_np, "gt": gt_np}])
+
+        model = StubModel()
+        out_json = tmp_path / "calib.json"
+        summary = run_calibration_benchmark(
+            model, {}, OneBatchLoader(), None, output_json=str(out_json)
+        )
+        assert summary["num_images"] == 2
+        assert np.isfinite(summary["ray_angular_error_deg_mean"])
+        assert out_json.exists()
