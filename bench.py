@@ -168,6 +168,53 @@ def main():
         except Exception as e:  # keep the primary metric printable
             print(f"# {key} failed: {type(e).__name__}: {e}", flush=True)
 
+    # ---- extra: training-step throughput (flash bwd + remat) -------------
+    if _left() > 240:
+        try:
+            import optax  # noqa: F401
+
+            from mapanything_tpu.data.synthetic import make_synthetic_batch
+            from mapanything_tpu.models import aug_training_config
+            from mapanything_tpu.train import (
+                OptimConfig,
+                OverallLossConfig,
+                create_train_state,
+                make_train_step,
+            )
+
+            tb, tv, th, tw = 2, 4, 196, 252
+            tcfg = MapAnythingConfig(
+                dtype=jnp.bfloat16,
+                encoder_gradient_checkpointing=True,
+                trunk_gradient_checkpointing=True,
+            )
+            tmodel = MapAnything(cfg=tcfg)
+            batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
+            geom = aug_training_config()
+            tparams = tmodel.init(jax.random.PRNGKey(0), batch["views"],
+                                  geom, rng=jax.random.PRNGKey(1))
+            state = create_train_state(tmodel, tparams, OptimConfig())
+            step = jax.jit(make_train_step(tmodel, geom, OverallLossConfig()),
+                           donate_argnums=(0,))
+            state, m = step(state, batch, jax.random.PRNGKey(2))
+            _ = float(m["loss"])  # compile+warm
+            ts = []
+            for i in range(4):
+                t0 = time.time()
+                state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+                _ = float(m["loss"])
+                ts.append(time.time() - t0)
+            st = float(np.median(ts))
+            extras["train_step_ms_2x4v_196x252"] = round(st * 1000, 1)
+            extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
+            print(f"# train step: {st * 1000:.0f} ms "
+                  f"({tb * tv / st:.1f} imgs/s)", flush=True)
+        except Exception as e:
+            print(f"# train-step extra failed: {type(e).__name__}: {e}",
+                  flush=True)
+    else:
+        print("# deadline: skipping train-step extra", flush=True)
+
     print(
         json.dumps(
             {
