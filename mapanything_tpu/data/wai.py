@@ -285,3 +285,105 @@ def write_scene(
                    covisibility, "mmap")
     store_data(scene_root / "scene_meta.json", meta, "readable")
     return scene_root
+
+
+# ---------------------------------------------------------------------------
+# Frame accessors + camera interpolation (reference wai/core.py:78-213,
+# camera.py:94-170). Float frame keys interpolate between the neighbors.
+# ---------------------------------------------------------------------------
+
+_CAMERA_KEYS = ("fx", "fy", "cx", "cy")
+
+
+def interpolate_intrinsics(frame1: Dict[str, Any], frame2: Dict[str, Any],
+                           alpha: float) -> Dict[str, Any]:
+    """Linear fx/fy/cx/cy interpolation (camera.py:94)."""
+    out = {}
+    for key in _CAMERA_KEYS:
+        if key in frame1 and key in frame2:
+            out[key] = (1 - alpha) * frame1[key] + alpha * frame2[key]
+    return out
+
+
+def interpolate_extrinsics(matrix1, matrix2, alpha: float) -> np.ndarray:
+    """SLERP rotation + lerp translation between 4x4 poses (camera.py:117)."""
+    import jax.numpy as jnp
+
+    from ..geometry.quats import (
+        quaternion_slerp,
+        quaternion_to_rotation_matrix,
+        rotation_matrix_to_quaternion,
+    )
+
+    m1 = np.asarray(matrix1, np.float64).reshape(4, 4)
+    m2 = np.asarray(matrix2, np.float64).reshape(4, 4)
+    q1 = rotation_matrix_to_quaternion(jnp.asarray(m1[:3, :3]))
+    q2 = rotation_matrix_to_quaternion(jnp.asarray(m2[:3, :3]))
+    q = quaternion_slerp(q1, q2, alpha)
+    out = np.eye(4)
+    out[:3, :3] = np.asarray(quaternion_to_rotation_matrix(q))
+    out[:3, 3] = (1 - alpha) * m1[:3, 3] + alpha * m2[:3, 3]
+    return out
+
+
+def get_frame_index(scene_meta: Dict[str, Any],
+                    frame_key: Union[int, str, float]):
+    """Resolve a frame key (name | index | fractional index) to an index
+    (int, or float for interpolation). Ref: wai/core.py:146."""
+    if isinstance(frame_key, bool):
+        raise TypeError("bool is not a frame key")
+    if isinstance(frame_key, str):
+        return scene_meta["frame_names"][frame_key]
+    if isinstance(frame_key, float) and not frame_key.is_integer():
+        return frame_key
+    return int(frame_key)
+
+
+def get_frame(scene_meta: Dict[str, Any],
+              frame_key: Union[int, str, float]) -> Dict[str, Any]:
+    """Frame record by name/index; fractional keys return an interpolated
+    virtual frame (pose SLERP + intrinsics lerp). Ref: wai/core.py:78."""
+    idx = get_frame_index(scene_meta, frame_key)
+    if isinstance(idx, int):
+        frame = dict(scene_meta["frames"][idx])
+        frame["_is_interpolated"] = False
+        return frame
+    left = int(idx)
+    if not 0 <= left < len(scene_meta["frames"]) - 1:
+        raise IndexError(f"fractional frame key {idx} out of range")
+    f1 = scene_meta["frames"][left]
+    f2 = scene_meta["frames"][left + 1]
+    alpha = idx - left
+    frame: Dict[str, Any] = {"frame_name": frame_key,
+                             "_is_interpolated": True}
+    frame["transform_matrix"] = interpolate_extrinsics(
+        f1["transform_matrix"], f2["transform_matrix"], alpha
+    ).tolist()
+    frame.update(interpolate_intrinsics(
+        {k: f1.get(k, scene_meta.get(k)) for k in _CAMERA_KEYS},
+        {k: f2.get(k, scene_meta.get(k)) for k in _CAMERA_KEYS},
+        alpha,
+    ))
+    return frame
+
+
+def get_extrinsics(scene_meta: Dict[str, Any],
+                   frame_key: Union[int, str, float]) -> Optional[np.ndarray]:
+    """(4, 4) opencv cam2world pose for a (possibly virtual) frame.
+    Ref: wai/core.py:129."""
+    frame = get_frame(scene_meta, frame_key)
+    if "transform_matrix" not in frame:
+        return None
+    return np.asarray(frame["transform_matrix"], np.float64).reshape(4, 4)
+
+
+def nest_modality(frame_modalities: Dict[str, Any],
+                  modality_name: str) -> Dict[str, Any]:
+    """Flat modality entry -> nested {name: entry} form (wai/core.py:475)."""
+    frame_modality: Dict[str, Any] = {}
+    if modality_name in frame_modalities:
+        frame_modality = frame_modalities[modality_name]
+        if "frame_key" in frame_modality:
+            nested_name = frame_modality["frame_key"].split("_")[0]
+            frame_modality = {nested_name: frame_modality}
+    return frame_modality

@@ -142,3 +142,27 @@ def pose_quats_trans_to_matrix(
         jnp.asarray([0.0, 0.0, 0.0, 1.0], dtype=rot.dtype), batch + (1, 4)
     )
     return jnp.concatenate([top, bottom], axis=-2)
+
+
+def quaternion_slerp(q1: jnp.ndarray, q2: jnp.ndarray,
+                     alpha) -> jnp.ndarray:
+    """Spherical interpolation between unit quaternions (..., 4) [xyzw].
+
+    Shortest-path (sign-corrected); falls back to normalized lerp when the
+    quaternions are nearly parallel. alpha=0 -> q1, alpha=1 -> q2.
+    Used by WAI pose interpolation (reference wai/camera.py:117 SLERP)."""
+    q1 = q1 / jnp.linalg.norm(q1, axis=-1, keepdims=True)
+    q2 = q2 / jnp.linalg.norm(q2, axis=-1, keepdims=True)
+    dot = jnp.sum(q1 * q2, axis=-1, keepdims=True)
+    q2 = jnp.where(dot < 0, -q2, q2)  # shortest path
+    dot = jnp.abs(dot)
+    dot = jnp.clip(dot, -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    sin_theta = jnp.sin(theta)
+    near = sin_theta < 1e-5
+    w1 = jnp.where(near, 1.0 - alpha, jnp.sin((1.0 - alpha) * theta)
+                   / jnp.where(near, 1.0, sin_theta))
+    w2 = jnp.where(near, alpha, jnp.sin(alpha * theta)
+                   / jnp.where(near, 1.0, sin_theta))
+    out = w1 * q1 + w2 * q2
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)

@@ -379,3 +379,64 @@ class TestWindowTail:
         assert np.array_equal(oi, np.asarray(ri))
         assert np.array_equal(od, rd)
         assert list(op) == list(rp)
+
+
+class TestSlerpAndInterp:
+    def test_slerp_endpoint_and_midpoint(self, rng):
+        from mapanything_tpu.geometry.quats import quaternion_slerp
+
+        q1 = jnp.asarray([0.0, 0.0, 0.0, 1.0])  # identity
+        th = np.pi / 2
+        q2 = jnp.asarray([0.0, 0.0, np.sin(th / 2), np.cos(th / 2)])  # 90z
+        np.testing.assert_allclose(np.asarray(quaternion_slerp(q1, q2, 0.0)),
+                                   np.asarray(q1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(quaternion_slerp(q1, q2, 1.0)),
+                                   np.asarray(q2), atol=1e-6)
+        mid = quaternion_slerp(q1, q2, 0.5)  # 45 deg about z
+        expect = np.array([0, 0, np.sin(np.pi / 8), np.cos(np.pi / 8)])
+        np.testing.assert_allclose(np.asarray(mid), expect, atol=1e-6)
+        # sign flip: slerp(q, -q2) matches slerp(q, q2) up to sign
+        mid2 = quaternion_slerp(q1, -q2, 0.5)
+        assert (np.allclose(np.asarray(mid2), expect, atol=1e-6)
+                or np.allclose(np.asarray(mid2), -expect, atol=1e-6))
+
+    def test_interpolate_extrinsics_rotation_angle(self, rng):
+        from mapanything_tpu.data.wai import interpolate_extrinsics
+
+        th = np.deg2rad(60.0)
+        m1 = np.eye(4)
+        m2 = np.eye(4)
+        m2[:3, :3] = np.array([
+            [np.cos(th), -np.sin(th), 0],
+            [np.sin(th), np.cos(th), 0],
+            [0, 0, 1],
+        ])
+        m2[:3, 3] = [2.0, 0.0, 4.0]
+        mid = interpolate_extrinsics(m1, m2, 0.5)
+        # rotation angle of the midpoint must be exactly 30 deg
+        ang = np.rad2deg(np.arccos((np.trace(mid[:3, :3]) - 1) / 2))
+        np.testing.assert_allclose(ang, 30.0, atol=1e-4)
+        np.testing.assert_allclose(mid[:3, 3], [1.0, 0.0, 2.0], atol=1e-6)
+
+    def test_get_frame_interpolated(self, tmp_path, rng):
+        from mapanything_tpu.data.wai import get_extrinsics, get_frame
+
+        meta = {
+            "frames": [
+                {"frame_name": "a", "fx": 100.0, "fy": 100.0,
+                 "cx": 10.0, "cy": 20.0,
+                 "transform_matrix": np.eye(4).tolist()},
+                {"frame_name": "b", "fx": 200.0, "fy": 300.0,
+                 "cx": 30.0, "cy": 40.0,
+                 "transform_matrix": np.eye(4).tolist()},
+            ],
+            "frame_names": {"a": 0, "b": 1},
+        }
+        f = get_frame(meta, 0.5)
+        assert f["_is_interpolated"]
+        np.testing.assert_allclose(f["fx"], 150.0)
+        np.testing.assert_allclose(f["cy"], 30.0)
+        assert get_frame(meta, "b")["frame_name"] == "b"
+        assert not get_frame(meta, 1)["_is_interpolated"]
+        np.testing.assert_allclose(get_extrinsics(meta, 0.25), np.eye(4),
+                                   atol=1e-6)
