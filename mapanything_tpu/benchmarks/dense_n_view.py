@@ -146,10 +146,18 @@ def run_dense_n_view_benchmark(
 ) -> Dict[str, float]:
     """Evaluate a model over a test loader; returns dataset-mean metrics and
     optionally writes the per-set JSON (reference output contract)."""
-    fwd = jax.jit(
-        lambda p, vw: model.apply(p, vw, geom_cfg,
-                                  memory_efficient=memory_efficient)
-    )
+    # Host-side adapters (external torch models, models/adapters.py
+    # VGGTAdapter) set jit_compatible=False — their forward runs outside
+    # jit; device models get the jitted path.
+    if getattr(model, "jit_compatible", True):
+        fwd = jax.jit(
+            lambda p, vw: model.apply(p, vw, geom_cfg,
+                                      memory_efficient=memory_efficient)
+        )
+    else:
+        def fwd(p, vw):
+            return model.apply(p, vw, geom_cfg,
+                               memory_efficient=memory_efficient)
     per_set: List[Dict[str, float]] = []
     loader.set_epoch(0)
     for batch in loader:

@@ -144,3 +144,119 @@ class MapAnythingAdapter:
             kw["geom_cfg"] = geom_cfg
         return self.model.apply(params, views,
                                 memory_efficient=memory_efficient, **kw)
+
+
+class VGGTAdapter:
+    """VGGT (torch) -> the factored benchmark contract.
+
+    Wraps a constructed torch VGGT module — the reference's vendored
+    `mapanything.models.external.vggt.models.vggt.VGGT` (or the same
+    architecture loaded with `VGGT.from_pretrained("facebook/VGGT-1B")`) —
+    the way the reference's VGGTWrapper does
+    (models/external/vggt/__init__.py:82-190), but all output conversion
+    runs through THIS framework's jnp geometry instead of the wrapper's
+    torch utils:
+
+      * camera_head pose encoding [t(3), xyzw quat(4), fov_h, fov_w]
+        decoded to cam-from-world extrinsics + pinhole K (pose_enc.py:108);
+      * depth_head z-depth -> camera pointmaps, unit rays, depth-along-ray
+        (geometry/rays.py);
+      * world pointmaps via the factored recombination.
+
+    The torch forward stays on host (the reference runs it on CUDA; there
+    is no TPU torch), which matches the external-wrapper role: evaluate a
+    foreign model under this framework's benchmarks with zero benchmark
+    changes.
+    """
+
+    jit_compatible = False  # torch forward cannot be traced
+
+    def __init__(self, model, data_norm_type: str = "dinov2"):
+        self.model = model
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}  # torch params live inside the module
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        import numpy as np
+        import torch
+
+        from ..geometry import (
+            closed_form_pose_inverse,
+            convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap,
+            convert_z_depth_to_depth_along_ray,
+            depthmap_to_camera_frame,
+            get_rays_in_camera_frame,
+        )
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
+        b, v, h, w, _ = imgs.shape
+        # VGGT expects [0,1] images ("identity" norm,
+        # external/vggt/__init__.py:104-108) — undo our data norm
+        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
+        imgs01 = np.clip(imgs * std.astype(np.float32)
+                         + mean.astype(np.float32), 0.0, 1.0)
+        t_imgs = torch.from_numpy(
+            np.ascontiguousarray(imgs01.transpose(0, 1, 4, 2, 3))
+        )
+
+        self.model.eval()
+        with torch.no_grad():
+            agg_tokens, ps_idx = self.model.aggregator(t_imgs)
+            pose_enc = self.model.camera_head(agg_tokens)[-1]  # (B,V,9)
+            depth_map, depth_conf = self.model.depth_head(
+                agg_tokens, t_imgs, ps_idx
+            )  # (B,V,H,W,1), (B,V,H,W)
+
+        pose_enc = jnp.asarray(pose_enc.numpy())
+        depth_z = jnp.asarray(depth_map.numpy())[..., 0]  # (B,V,H,W)
+        conf = jnp.asarray(depth_conf.numpy())
+
+        # decode pose encoding (pose_enc.py:110-130): xyzw quats, fov -> K
+        trans_w2c = pose_enc[..., :3]
+        quat_w2c = pose_enc[..., 3:7]
+        fov_h = pose_enc[..., 7]
+        fov_w = pose_enc[..., 8]
+        fy = (h / 2.0) / jnp.tan(fov_h / 2.0)
+        fx = (w / 2.0) / jnp.tan(fov_w / 2.0)
+        K = jnp.zeros((b, v, 3, 3), jnp.float32)
+        K = K.at[..., 0, 0].set(fx).at[..., 1, 1].set(fy)
+        K = K.at[..., 0, 2].set(w / 2).at[..., 1, 2].set(h / 2)
+        K = K.at[..., 2, 2].set(1.0)
+
+        # cam-from-world -> cam2world
+        from ..geometry import pose_quats_trans_to_matrix
+        from ..geometry import rotation_matrix_to_quaternion as rot2quat
+
+        w2c = pose_quats_trans_to_matrix(quat_w2c, trans_w2c)  # (B,V,4,4)
+        c2w = closed_form_pose_inverse(w2c)
+        cam_quats = rot2quat(c2w[..., :3, :3])
+        cam_trans = c2w[..., :3, 3]
+
+        pts3d_cam, _ = depthmap_to_camera_frame(depth_z, K)
+        depth_along_ray = convert_z_depth_to_depth_along_ray(
+            depth_z, K
+        )[..., None]
+        _, rays = get_rays_in_camera_frame(K, h, w,
+                                           normalize_to_unit_sphere=True)
+        pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+            rays, depth_along_ray, cam_trans, cam_quats
+        )
+
+        ones_mask = jnp.ones((b, v, h, w), bool)
+        return {
+            "pts3d": pts3d,
+            "pts3d_cam": pts3d_cam,
+            "ray_directions": rays,
+            "depth_along_ray": depth_along_ray,
+            "cam_quats": cam_quats,
+            "cam_trans": cam_trans,
+            "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+            "conf": conf,
+            "non_ambiguous_mask": ones_mask,
+            "non_ambiguous_mask_logits": jnp.full((b, v, h, w), 10.0),
+        }
