@@ -128,6 +128,17 @@ def main():
     write_ply(args.output, pts, cols)
     print(f"wrote {len(pts)} points -> {args.output}")
 
+    # GLB scene with camera-frustum wireframes (the reference's
+    # predictions_to_glb output, hf_utils/viz.py)
+    from mapanything_tpu.utils.viz import write_glb_scene
+
+    glb_path = os.path.splitext(args.output)[0] + ".glb"
+    poses = np.stack([np.asarray(p["camera_poses"][0]) for p in preds])
+    Ks = np.stack([np.asarray(p["intrinsics"][0]) for p in preds])
+    h, w = preds[0]["pts3d"].shape[1:3]
+    write_glb_scene(glb_path, pts, cols, poses, Ks, (w, h))
+    print(f"wrote GLB scene with {len(preds)} camera frustums -> {glb_path}")
+
 
 if __name__ == "__main__":
     main()

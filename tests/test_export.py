@@ -62,3 +62,40 @@ class TestGLB:
         # positions round-trip from the binary chunk
         back = np.frombuffer(payload[: 50 * 12], np.float32).reshape(50, 3)
         np.testing.assert_allclose(back, pts)
+
+
+class TestGLBScene:
+    def test_scene_with_frustums(self, tmp_path, rng):
+        import json
+        import struct
+
+        from mapanything_tpu.utils.viz import write_glb_scene
+
+        pts = rng.normal(size=(200, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (200, 3))
+        poses = np.stack([np.eye(4)] * 3)
+        poses[1][:3, 3] = [1, 0, 0]
+        poses[2][:3, 3] = [0, 1, 0]
+        K = np.stack([np.array([[100.0, 0, 32], [0, 100, 24], [0, 0, 1]])] * 3)
+        path = str(tmp_path / "scene.glb")
+        write_glb_scene(path, pts, cols, poses, K, (64, 48))
+
+        data = open(path, "rb").read()
+        magic, _ver, total = struct.unpack_from("<4sII", data, 0)
+        assert magic == b"glTF" and total == len(data)
+        jlen, _t = struct.unpack_from("<I4s", data, 12)
+        g = json.loads(data[20 : 20 + jlen])
+        # two meshes: points (mode 0) + frustum lines (mode 1)
+        modes = [m["primitives"][0]["mode"] for m in g["meshes"]]
+        assert modes == [0, 1]
+        # 3 cameras x 8 segments x 2 endpoints
+        assert g["accessors"][2]["count"] == 3 * 8 * 2
+
+    def test_scene_without_cameras_falls_back(self, tmp_path, rng):
+        from mapanything_tpu.utils.viz import write_glb_scene
+
+        pts = rng.normal(size=(10, 3)).astype(np.float32)
+        cols = rng.uniform(0, 1, (10, 3))
+        path = str(tmp_path / "pc2.glb")
+        write_glb_scene(path, pts, cols)
+        assert open(path, "rb").read(4) == b"glTF"
