@@ -62,9 +62,14 @@ class RMVDAdaptor:
             raise ValueError(
                 f"unknown inference_conditioning {inference_conditioning!r}"
             )
-        self._fwd = jax.jit(
-            lambda p, v: self.model.apply(p, v, self.geom_cfg)
-        )
+        # External torch-backed adapters (models/adapters.py) set
+        # jit_compatible=False — their forward runs outside jit.
+        if getattr(model, "jit_compatible", True):
+            self._fwd = jax.jit(
+                lambda p, v: self.model.apply(p, v, self.geom_cfg)
+            )
+        else:
+            self._fwd = lambda p, v: self.model.apply(p, v, self.geom_cfg)
 
     # -- RMVD wrapper surface ------------------------------------------------
     def input_adapter(

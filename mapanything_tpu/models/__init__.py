@@ -28,14 +28,18 @@ def model_factory(model_str: str = "mapanything", **overrides) -> MapAnything:
     return MapAnything(cfg=cfg)
 
 
+from .tasks import TASK_NAMES, task_config
+
 __all__ = [
     "GeometricInputConfig",
     "MapAnything",
     "MapAnythingConfig",
     "MODEL_CONFIGS",
+    "TASK_NAMES",
     "aug_training_config",
     "images_only_config",
     "model_factory",
+    "task_config",
 ]
 
 from .modular_dust3r import ModularDUSt3R, ModularDUSt3RConfig

@@ -260,3 +260,167 @@ class VGGTAdapter:
             "non_ambiguous_mask": ones_mask,
             "non_ambiguous_mask_logits": jnp.full((b, v, h, w), 10.0),
         }
+
+
+class Pi3Adapter:
+    """Pi3 (torch) -> the factored benchmark contract.
+
+    Wraps a constructed torch Pi3 module — the reference's vendored
+    `mapanything.models.external.pi3.models.pi3.Pi3` (or the same
+    architecture loaded via `Pi3.from_pretrained("yyfz233/Pi3")`) — the way
+    the reference's Pi3Wrapper does (models/external/pi3/__init__.py:57-135),
+    with output conversion through this framework's jnp geometry:
+
+      * `camera_poses` (B,V,4,4) are cam2world; translation/quaternion are
+        read off directly (pi3/__init__.py:98-101);
+      * `local_points` are the camera-frame pointmaps: depth-along-ray is
+        their norm and rays the normalized directions
+        (pi3/__init__.py:104-109);
+      * `points` are the world pointmaps (already unprojected by Pi3's own
+        einsum, pi3.py:246-249);
+      * Pi3 geometry is scale-ambiguous: metric_scaling_factor = 1.
+
+    The torch forward stays on host (external-wrapper role, §2.9). Pi3
+    expects images in [0, 1] ("identity" norm — it applies its own ImageNet
+    normalization internally, pi3.py:143-147), so this adapter undoes the
+    framework's data norm first.
+    """
+
+    jit_compatible = False  # torch forward cannot be traced
+
+    def __init__(self, model, data_norm_type: str = "dinov2"):
+        self.model = model
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}  # torch params live inside the module
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        import numpy as np
+        import torch
+
+        from ..geometry import rotation_matrix_to_quaternion as rot2quat
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
+        b, v, h, w, _ = imgs.shape
+        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
+        imgs01 = np.clip(imgs * std.astype(np.float32)
+                         + mean.astype(np.float32), 0.0, 1.0)
+        t_imgs = torch.from_numpy(
+            np.ascontiguousarray(imgs01.transpose(0, 1, 4, 2, 3))
+        )  # (B,V,3,H,W)
+
+        self.model.eval()
+        with torch.no_grad():
+            res = self.model(t_imgs)
+
+        pts3d = jnp.asarray(res["points"].numpy())          # (B,V,H,W,3)
+        pts3d_cam = jnp.asarray(res["local_points"].numpy())
+        conf = jnp.asarray(res["conf"].numpy())[..., 0]     # (B,V,H,W)
+        c2w = jnp.asarray(res["camera_poses"].numpy())      # (B,V,4,4)
+
+        rays, depth_along_ray = _rays_depth_from_cam_points(pts3d_cam)
+        cam_quats = rot2quat(c2w[..., :3, :3])
+        cam_trans = c2w[..., :3, 3]
+
+        ones_mask = jnp.ones((b, v, h, w), bool)
+        return {
+            "pts3d": pts3d,
+            "pts3d_cam": pts3d_cam,
+            "ray_directions": rays,
+            "depth_along_ray": depth_along_ray,
+            "cam_quats": cam_quats,
+            "cam_trans": cam_trans,
+            "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+            "conf": conf,
+            "non_ambiguous_mask": ones_mask,
+            "non_ambiguous_mask_logits": jnp.full((b, v, h, w), 10.0),
+        }
+
+
+class MoGeAdapter:
+    """MoGe v1/v2 (torch, monocular) -> the factored benchmark contract.
+
+    Wraps a constructed torch MoGeModel — the reference's vendored
+    `mapanything.models.external.moge.models.v2.MoGeModel` (or v1) — the way
+    the reference's MoGeWrapper does (models/external/moge/__init__.py:64-
+    127): `model.infer(image, num_tokens=(H//14)*(W//14), apply_mask=False)`
+    per view, camera-frame points out.
+
+    MoGe is single-view: the reference wrapper asserts V == 1. This adapter
+    generalizes by running each view independently — every view gets an
+    identity pose and `pts3d == pts3d_cam`, which is exactly the V=1
+    semantics repeated, so single-view RMVD-style depth evaluation works for
+    any V while multi-view alignment is (correctly) not claimed.
+
+      * rays + depth-along-ray from the camera-frame points
+        (moge/__init__.py:105-108);
+      * non_ambiguous_mask from the predicted sky/ambiguity mask when the
+        model has a mask head;
+      * metric_scaling_factor = 1 (the wrapper does not consume
+        MoGe-2's metric scale; parity with moge/__init__.py:110-121).
+    """
+
+    jit_compatible = False  # torch forward cannot be traced
+
+    def __init__(self, model, data_norm_type: str = "dinov2"):
+        self.model = model
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        import numpy as np
+        import torch
+
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
+        b, v, h, w, _ = imgs.shape
+        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
+        imgs01 = np.clip(imgs * std.astype(np.float32)
+                         + mean.astype(np.float32), 0.0, 1.0)
+
+        pts, masks = [], []
+        self.model.eval()
+        num_tokens = max((h // 14) * (w // 14), 4)
+        with torch.no_grad():
+            for view in range(v):
+                t_img = torch.from_numpy(np.ascontiguousarray(
+                    imgs01[:, view].transpose(0, 3, 1, 2)
+                ))  # (B,3,H,W)
+                out = self.model.infer(
+                    image=t_img, num_tokens=num_tokens, apply_mask=False,
+                    use_fp16=False,
+                )
+                pts.append(out["points"].float().numpy())  # (B,H,W,3)
+                if "mask" in out:
+                    masks.append(out["mask"].float().numpy() > 0.5)
+                else:
+                    masks.append(np.ones((b, h, w), bool))
+
+        pts3d_cam = jnp.asarray(np.stack(pts, axis=1))  # (B,V,H,W,3)
+        mask = jnp.asarray(np.stack(masks, axis=1))     # (B,V,H,W)
+
+        rays, depth_along_ray = _rays_depth_from_cam_points(pts3d_cam)
+        identity_quat = jnp.tile(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (b, v, 1)
+        )
+        return {
+            "pts3d": pts3d_cam,
+            "pts3d_cam": pts3d_cam,
+            "ray_directions": rays,
+            "depth_along_ray": depth_along_ray,
+            "cam_quats": identity_quat,
+            "cam_trans": jnp.zeros((b, v, 3), jnp.float32),
+            "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+            "conf": jnp.ones((b, v, h, w), jnp.float32),
+            "non_ambiguous_mask": mask,
+            "non_ambiguous_mask_logits": jnp.where(mask, 10.0, -10.0),
+        }

@@ -110,21 +110,14 @@ class GeometricInputConfig:
 
 def images_only_config() -> GeometricInputConfig:
     """configs/model/task/images_only.yaml equivalent."""
-    return GeometricInputConfig(
-        overall_prob=0.0, dropout_prob=1.0, ray_dirs_prob=0.0, depth_prob=0.0,
-        cam_prob=0.0, sparse_depth_prob=0.0, depth_scale_norm_all_prob=0.0,
-        pose_scale_norm_all_prob=0.0,
-    )
+    from .tasks import task_config
+    return task_config("images_only")
 
 
 def aug_training_config() -> GeometricInputConfig:
-    """configs/model/task/aug_training.yaml-style stochastic training mix."""
-    return GeometricInputConfig(
-        overall_prob=0.9, dropout_prob=0.1, ray_dirs_prob=0.8, depth_prob=0.5,
-        cam_prob=0.5, sparse_depth_prob=0.5,
-        sparsification_removal_percent=0.99,
-        depth_scale_norm_all_prob=0.3, pose_scale_norm_all_prob=0.3,
-    )
+    """configs/model/task/aug_training.yaml stochastic training mix."""
+    from .tasks import task_config
+    return task_config("aug_training")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -377,14 +370,21 @@ class MapAnything(nn.Module):
                                 name="dense_head")
         n = b * v
         chunk = cfg.dense_head_chunk
-        if memory_efficient and n > chunk and n % chunk == 0:
+        if memory_efficient and n > chunk:
             # Static chunking via nn.scan over the SAME dense-head module
             # (params broadcast, not scanned): sequential HBM use — the
             # TPU-native replacement for the adaptive free-memory
-            # minibatching at model.py:1355-1438.
-            num_chunks = n // chunk
+            # minibatching at model.py:1355-1438. Non-divisible view counts
+            # are padded up to a chunk multiple (the pad views run through
+            # the head and are sliced off after).
+            num_chunks = -(-n // chunk)
+            pad = num_chunks * chunk - n
             hooks_chunked = tuple(
-                x.reshape(num_chunks, chunk, *x.shape[1:]) for x in hooks
+                jnp.concatenate(
+                    [x, jnp.zeros((pad, *x.shape[1:]), x.dtype)], axis=0
+                ).reshape(num_chunks, chunk, *x.shape[1:])
+                if pad else x.reshape(num_chunks, chunk, *x.shape[1:])
+                for x in hooks
             )
 
             def _body(mdl, carry, xs):
@@ -398,7 +398,8 @@ class MapAnything(nn.Module):
                 out_axes=0,
             )
             _, raw_dense = scan_head(dense_head, None, hooks_chunked)
-            raw_dense = raw_dense.reshape(n, h, w, cfg.dense_output_dim)
+            raw_dense = raw_dense.reshape(
+                num_chunks * chunk, h, w, cfg.dense_output_dim)[:n]
         else:
             raw_dense = dense_head(hooks, (h, w))
 

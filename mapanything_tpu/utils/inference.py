@@ -16,6 +16,7 @@ postprocess:294) plus the reference's MapAnything.infer() driver
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -331,8 +332,17 @@ class InferencePipeline:
         ignore_depth_scale_inputs: bool = False,
         ignore_pose_scale_inputs: bool = False,
         data_norm_type: str = "dinov2",
+        task: Optional[str] = None,
     ) -> List[Dict[str, jnp.ndarray]]:
-        """Reference-compatible inference entry point (model.py:1963)."""
+        """Reference-compatible inference entry point (model.py:1963).
+
+        ``task`` selects a named preset from ``configs/model/task/*.yaml``
+        (e.g. ``"mvs"``, ``"registration_sparse"``); its per-modality
+        probabilities are intersected with the modalities actually present in
+        ``views``, replacing the availability-derived config. Stochastic
+        (training-mix) presets are rejected here — inference needs 0/1
+        probabilities so every mask branch folds at trace time.
+        """
         views = validate_input_views_for_inference(views)
         views = preprocess_input_views_for_inference(views)
         batched = stack_views(views)
@@ -341,16 +351,35 @@ class InferencePipeline:
         has_ray = "ray_directions_cam" in batched and not ignore_calibration_inputs
         has_depth = "depth_along_ray" in batched and not ignore_depth_inputs
         has_pose = "camera_pose_quats" in batched and not ignore_pose_inputs
-        geom_cfg = GeometricInputConfig(
-            overall_prob=1.0 if (has_ray or has_depth or has_pose) else 0.0,
-            dropout_prob=0.0 if (has_ray or has_depth or has_pose) else 1.0,
-            ray_dirs_prob=1.0 if has_ray else 0.0,
-            depth_prob=1.0 if has_depth else 0.0,
-            cam_prob=1.0 if has_pose else 0.0,
-            sparse_depth_prob=0.0,
-            depth_scale_norm_all_prob=1.0 if ignore_depth_scale_inputs else 0.0,
-            pose_scale_norm_all_prob=1.0 if ignore_pose_scale_inputs else 0.0,
-        )
+        if task is not None:
+            from ..models import task_config
+            preset = task_config(task)
+            geom_cfg = dataclasses.replace(
+                preset,
+                ray_dirs_prob=preset.ray_dirs_prob if has_ray else 0.0,
+                depth_prob=preset.depth_prob if has_depth else 0.0,
+                cam_prob=preset.cam_prob if has_pose else 0.0,
+                sparse_depth_prob=preset.sparse_depth_prob if has_depth else 0.0,
+            )
+            if not geom_cfg.deterministic():
+                raise ValueError(
+                    f"task preset {task!r} is a stochastic training mix; "
+                    "inference requires 0/1 probabilities — use it with the "
+                    "training loop instead"
+                )
+        else:
+            geom_cfg = GeometricInputConfig(
+                overall_prob=1.0 if (has_ray or has_depth or has_pose) else 0.0,
+                dropout_prob=0.0 if (has_ray or has_depth or has_pose) else 1.0,
+                ray_dirs_prob=1.0 if has_ray else 0.0,
+                depth_prob=1.0 if has_depth else 0.0,
+                cam_prob=1.0 if has_pose else 0.0,
+                sparse_depth_prob=0.0,
+                depth_scale_norm_all_prob=(
+                    1.0 if ignore_depth_scale_inputs else 0.0),
+                pose_scale_norm_all_prob=(
+                    1.0 if ignore_pose_scale_inputs else 0.0),
+            )
 
         flags = (
             geom_cfg, memory_efficient_inference, apply_mask, mask_edges,

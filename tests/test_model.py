@@ -104,6 +104,23 @@ class TestForward:
             np.asarray(a["pts3d"]), np.asarray(bdict["pts3d"]), atol=1e-6
         )
 
+    def test_memory_efficient_pads_non_divisible_counts(
+            self, tiny_model_and_params):
+        """B*V=3 with dense_head_chunk=2 must still chunk (padded to 4) and
+        match the unchunked output — the non-divisible case previously fell
+        through to the unchunked path silently."""
+        model, params = tiny_model_and_params
+        rng = np.random.default_rng(1)
+        views = {"img": jnp.asarray(
+            rng.normal(size=(B, 3, H, W, 3)).astype(np.float32))}
+        a = model.apply(params, views, images_only_config())
+        b = model.apply(
+            params, views, images_only_config(), memory_efficient=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(a["pts3d"]), np.asarray(b["pts3d"]), atol=1e-5
+        )
+
     def test_stochastic_requires_rng(self, tiny_model_and_params):
         model, params = tiny_model_and_params
         with pytest.raises(ValueError, match="rng"):
