@@ -128,6 +128,9 @@ class MapAnythingConfig:
 
     encoder_type: str = "dinov2"  # "dinov2" | "croco" | "radio" (encoder_str)
     encoder_size: str = "large"
+    # RADIO only: pretraining grid that shapes the stored CPE pos_embed
+    # (RadioViT.img_size); ignored by the other encoder families.
+    encoder_img_size: int = 1024
     patch_size: int = 14
     data_norm_type: str = "dinov2"
     encoder_gradient_checkpointing: bool = False
@@ -275,6 +278,7 @@ class MapAnything(nn.Module):
             encoder = RadioViT(
                 size=cfg.encoder_size,
                 patch_size=cfg.patch_size,
+                img_size=cfg.encoder_img_size,
                 dtype=cfg.dtype,
                 param_dtype=self.param_dtype,
                 remat=cfg.encoder_gradient_checkpointing,

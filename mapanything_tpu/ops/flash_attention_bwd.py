@@ -38,23 +38,30 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
+    # Same VPU-economy tricks as the serving kernel (flash_attention.py):
+    # base-2 softmax domain, softmax scale folded into q (bq*d elements
+    # instead of bq*bk), ragged-kv mask as one additive (1, bk) bias row,
+    # bf16 score/probability storage for bf16 inputs (the fp32 m/l carry
+    # keeps the recurrence exact).
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]
-    # Base-2 softmax domain throughout (see flash_attention.py): the VPU's
-    # 2^x is much cheaper than e^x and softmax is the VPU bottleneck here.
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                            ) * (scale * 1.4426950408889634)
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < kv_len, s, -jnp.inf)
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(s_dtype)
+    if kv_len % block_k != 0:  # static: no mask at all for aligned kv
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
 
     m_prev = m_ref[:, :1]
     l_prev = l_ref[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp2(s.astype(jnp.float32) - m_new).astype(s_dtype)
+    l_new = alpha * l_prev + jnp.sum(
+        p.astype(jnp.float32), axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -73,6 +80,32 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
 
 
+def _fwd_with_lse_kernel_1pass(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                               *, scale, kv_len):
+    """Single k-block specialization (every frame-attention call and the
+    global attention at training view counts): no online-softmax carry."""
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
+    k = k_ref[0]
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(s_dtype)
+    if kv_len != s.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+    m = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+    p = jnp.exp2(s.astype(jnp.float32) - m).astype(s_dtype)
+    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    safe_l = jnp.where(l == 0, 1.0, l)
+    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    lse_row = m[:, 0] + jnp.log2(safe_l[:, 0])
+    lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
+
+
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
                 dk_ref, dv_ref, dk_acc, dv_acc,
                 *, scale, q_len, kv_len, block_q, block_k):
@@ -87,28 +120,30 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     q = q_ref[0]          # (bq, d)
     k = k_ref[0]          # (bk, d)
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = lse_ref[0, 0, 0]      # (bq,)
     delta = delta_ref[0, 0, 0]  # (bq,)
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                            ) * (scale * 1.4426950408889634)
-    row = i * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-    col = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 1)
-    valid = (row < q_len) & (col < kv_len)
+    # No validity mask needed (the fwd kernels had one): padded q rows are
+    # ZERO rows, so do=0 and delta=0 kill their dv/dk contributions
+    # (dv += p^T·0, ds = p·(0-0)); padded k cols give finite p but land in
+    # dk/dv rows >= kv_len, which the caller slices off. Dropping the
+    # (bq, bk) iota/compare/select saves two full VPU passes per block.
+    qs = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
     # lse is base-2 (m2 + log2 l): p = exp2(s2 - lse2) == softmax weight
-    p = jnp.where(valid, jnp.exp2(s - lse[:, None]), 0.0)  # (bq, bk)
+    p = jnp.exp2(s - lse[:, None]).astype(s_dtype)  # (bq, bk)
 
     dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
         p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None]) * scale
+    ds = (p.astype(jnp.float32) * (dp - delta[:, None])
+          * scale).astype(s_dtype)
     dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds, q.astype(jnp.float32), (((0,), (0,)), ((), ())),
+        ds, q, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(i == nq - 1)
@@ -129,25 +164,25 @@ def _dq_kernel(q_ref, k_ref, do_ref, v_ref, lse_ref, delta_ref,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
-    do = do_ref[0].astype(jnp.float32)
+    do = do_ref[0]
     lse = lse_ref[0, 0, 0]
     delta = delta_ref[0, 0, 0]
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32
-                            ) * (scale * 1.4426950408889634)
-    row = pl.program_id(1) * block_q + jax.lax.broadcasted_iota(
-        jnp.int32, s.shape, 0)
-    col = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    valid = (row < q_len) & (col < kv_len)
-    p = jnp.where(valid, jnp.exp2(s - lse[:, None]), 0.0)
+    # No validity mask (see _dkv_kernel): padded q rows only produce garbage
+    # dq rows that the caller slices off; padded k/v cols are zero, so their
+    # nonzero p entries contribute ds[col]*k[col] = 0 to dq.
+    qs = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
+    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    p = jnp.exp2(s - lse[:, None]).astype(s_dtype)
 
-    dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                             (((1,), (1,)), ((), ())),
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    ds = p * (dp - delta[:, None]) * scale
+    ds = (p.astype(jnp.float32) * (dp - delta[:, None])
+          * scale).astype(s_dtype)
     dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-        ds, k.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
@@ -162,16 +197,50 @@ def _prep(x, target_len, b, h, d):
     return x
 
 
-def _fwd_with_lse(q, k, v, block_q, block_k):
+def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = d**-0.5
     block_q = pick_block(n, block_q)
-    block_k = pick_block(kv_len, block_k)
+    # Single k-block whenever the whole kv fits a VMEM-safe width — same
+    # policy as serving (flash_attention.py): every frame-attention call and
+    # the global attention at training view counts take the 1-pass kernel.
+    # (single_pass_max is a test knob for exercising the multi-block path
+    # at small shapes.)
+    if _round_up(kv_len, 128) <= single_pass_max:
+        block_k = _round_up(kv_len, 128)
+    else:
+        block_k = pick_block(kv_len, block_k)
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
     qb, kb, vb = (_prep(q, n_pad, b, h, d), _prep(k, kv_pad, b, h, d),
                   _prep(v, kv_pad, b, h, d))
+    if kv_pad == block_k:
+        grid = (b * h, n_pad // block_q)
+        out, lse = pl.pallas_call(
+            functools.partial(
+                _fwd_with_lse_kernel_1pass, scale=scale, kv_len=kv_len
+            ),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec((1, 1, 8, block_q), lambda bh, i: (bh, i, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+                jax.ShapeDtypeStruct(
+                    (b * h, n_pad // block_q, 8, block_q), jnp.float32
+                ),
+            ],
+        )(qb, kb, vb)
+        out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
+        return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
+                                                 kv_pad, block_q, block_k))
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_with_lse_kernel, scale=scale, kv_len=kv_len,

@@ -179,8 +179,10 @@ def train(
         print(f"resumed from {last_path} at step {int(state.step)} "
               f"(epoch {start_epoch})")
 
-    train_step = jax.jit(make_train_step(model, geom_cfg, loss_cfg),
-                         donate_argnums=(0,))
+    from .step import jit_train_step
+
+    train_step = jit_train_step(make_train_step(model, geom_cfg, loss_cfg),
+                                mesh=mesh)
 
     for epoch in range(start_epoch, loop_cfg.epochs):
         # ---- eval ----

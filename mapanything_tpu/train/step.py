@@ -146,6 +146,26 @@ def make_train_step(
 
 
 def jit_train_step(train_step, mesh=None, batch_spec=None):
-    """jit the step; with a mesh, batch arrays are data-sharded and params
-    follow their placement shardings (GSPMD inserts the collectives)."""
-    return jax.jit(train_step, donate_argnums=(0,))
+    """jit the step.
+
+    Without a mesh this is `jax.jit(step, donate_argnums=(0,))` — placement
+    shardings on state/batch still propagate (the loop's `shard_batch` path).
+    With a mesh, the batch argument is CONSTRAINED to `batch_spec` (default:
+    leading axis over the "data" mesh axis) so a host-resident batch is
+    data-sharded even if the caller forgot to place it; state and rng are
+    left unspecified so params keep their placement shardings and GSPMD
+    inserts the collectives.
+    """
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = batch_spec if batch_spec is not None else PartitionSpec("data")
+    batch_sharding = NamedSharding(mesh, spec)
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        # pytree-prefix: one sharding broadcast over every batch leaf
+        in_shardings=(None, batch_sharding, None),
+    )

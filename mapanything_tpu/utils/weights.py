@@ -140,6 +140,65 @@ def convert_dinov2(
     return params, used
 
 
+def convert_croco(
+    sd: Mapping[str, Any], prefix: str = ""
+) -> Tuple[Dict[str, Any], int]:
+    """Convert a CroCo/DUSt3R-style torch encoder state_dict to CroCoViT
+    params.
+
+    Expected key layout under `prefix` (CroCo/DUSt3R encoder; used by the
+    reference's croco_512 encoder config and ModularDUSt3R lineage):
+      patch_embed.proj.{weight,bias}     Conv patch embed
+      enc_blocks.{i}.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}
+      enc_norm.{weight,bias}             final LayerNorm
+    An `enc_pos_embed` buffer, if present, is skipped (our CroCoViT computes
+    the same 2D sin-cos table on the fly) but counted as consumed.
+
+    Returns (params inner tree for CroCoViT, consumed-tensor count).
+    """
+    g = lambda k: sd[prefix + k]  # noqa: E731
+    used = 0
+
+    def take(k):
+        nonlocal used
+        used += 1
+        return g(k)
+
+    params: Dict[str, Any] = {
+        "patch_embed": conv(
+            take("patch_embed.proj.weight"), take("patch_embed.proj.bias")
+        ),
+        "norm": layer_norm(take("enc_norm.weight"), take("enc_norm.bias")),
+    }
+    if prefix + "enc_pos_embed" in sd:
+        take("enc_pos_embed")  # fixed sin-cos table, recomputed on the fly
+
+    n_blocks = 0
+    while f"{prefix}enc_blocks.{n_blocks}.norm1.weight" in sd:
+        n_blocks += 1
+    for i in range(n_blocks):
+        b = f"enc_blocks.{i}."
+        params[f"blocks_{i}"] = {
+            "norm1": layer_norm(take(b + "norm1.weight"),
+                                take(b + "norm1.bias")),
+            "attn": {
+                "qkv": linear(take(b + "attn.qkv.weight"),
+                              take(b + "attn.qkv.bias")),
+                "proj": linear(take(b + "attn.proj.weight"),
+                               take(b + "attn.proj.bias")),
+            },
+            "norm2": layer_norm(take(b + "norm2.weight"),
+                                take(b + "norm2.bias")),
+            "mlp": {
+                "fc1": linear(take(b + "mlp.fc1.weight"),
+                              take(b + "mlp.fc1.bias")),
+                "fc2": linear(take(b + "mlp.fc2.weight"),
+                              take(b + "mlp.fc2.bias")),
+            },
+        }
+    return params, used
+
+
 def convert_radio(
     sd: Mapping[str, Any], prefix: str = ""
 ) -> Tuple[Dict[str, Any], int]:
@@ -551,15 +610,34 @@ def convert_mapanything_checkpoint(
         consumed.update(prefix + k for k in sub.used)
         return res
 
-    # --- encoder (exact DINOv2 layout; prefix may nest a hub wrapper) -----
-    enc_prefix = None
-    for k in sd:
-        m = re.match(r"^(encoder\..*?|)patch_embed\.proj\.weight$", k)
-        if m is not None:
-            enc_prefix = m.group(1)
-            break
+    # --- encoder: route by family signature keys --------------------------
+    # RADIO checkpoints carry an input_conditioner + patch_generator; CroCo
+    # encoders use enc_blocks/enc_norm; DINOv2 has cls_token + patch_embed.
+    # Each family's signature is disjoint, so the first match wins.
+    def _find_prefix(pattern: str):
+        for k in sd:
+            m = re.match(pattern, k)
+            if m is not None:
+                return m.group(1)
+        return None
+
+    radio_prefix = _find_prefix(
+        r"^(encoder\..*?|)input_conditioner\.norm_mean$")
+    croco_prefix = _find_prefix(
+        r"^(encoder\..*?|)enc_blocks\.0\.norm1\.weight$")
+    dino_prefix = None
+    if radio_prefix is None and croco_prefix is None:
+        dino_prefix = _find_prefix(r"^(encoder\..*?|)patch_embed\.proj\.weight$")
+
+    enc_prefix = radio_prefix if radio_prefix is not None else (
+        croco_prefix if croco_prefix is not None else dino_prefix)
     if enc_prefix is not None:
-        enc_params, _ = convert_dinov2(sd, enc_prefix)
+        if radio_prefix is not None:
+            enc_params, _ = convert_radio(sd, enc_prefix)
+        elif croco_prefix is not None:
+            enc_params, _ = convert_croco(sd, enc_prefix)
+        else:
+            enc_params, _ = convert_dinov2(sd, enc_prefix)
         out["encoder"] = enc_params
         for k in sd:
             if k.startswith(enc_prefix):

@@ -78,3 +78,41 @@ class TestFlashBackward:
                 )
         finally:
             fb.pl.pallas_call = orig
+
+    @pytest.mark.parametrize("n,single_pass_max", [
+        (300, 2816),   # ragged 1-pass lse path (bias-row masking)
+        (300, 128),    # ragged multi-block online path
+    ])
+    def test_gradients_match_xla_ragged(self, rng, n, single_pass_max):
+        """Both lse-forward paths (1-pass and online multi-block) after the
+        mask-elision rework: padded rows/cols must contribute exactly zero
+        to dq/dk/dv."""
+        import functools
+
+        from mapanything_tpu.ops import flash_attention_bwd as fb
+
+        orig = fb.pl.pallas_call
+        fb.pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            q, k, v = _qkv(rng, 1, n, 2, 64)
+
+            out, res = fb._fwd_with_lse(q, k, v, 128, 128,
+                                        single_pass_max=single_pass_max)
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(_sdpa_xla(q, k, v)),
+                atol=1e-4, rtol=1e-4,
+            )
+            g = 2 * out
+            dq, dk, dv = fb._bwd(res, g)
+
+            def loss_xla(q, k, v):
+                return jnp.sum(_sdpa_xla(q, k, v) ** 2)
+
+            gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+            for name, ours, ref in zip("qkv", (dq, dk, dv), gx):
+                np.testing.assert_allclose(
+                    np.asarray(ours), np.asarray(ref), atol=2e-4, rtol=1e-3,
+                    err_msg=f"d{name}",
+                )
+        finally:
+            fb.pl.pallas_call = orig

@@ -248,3 +248,60 @@ class TestFromPretrained:
             from_pretrained(str(f), config_overrides=dict(
                 encoder_size="small", trunk_indices=INDICES,
                 dpt_feature_dim=64))
+
+
+class TestEncoderFamilyConversion:
+    """Full checkpoints whose encoder is croco or radio route to the right
+    converter rules (weights.py family signature detection) — every key
+    consumed, end-to-end output parity vs the torch mirror (round-2 VERDICT
+    next-round item 6)."""
+
+    B, V, H, W = 1, 2, 32, 48
+
+    @pytest.mark.parametrize("family", ["croco", "radio"])
+    def test_full_conversion_and_parity(self, family):
+        from torch_mirror import MirrorMapAnything, randomize_state_dict
+
+        mirror = MirrorMapAnything(
+            trunk_dim=64, trunk_depth=4, trunk_heads=2, indices=INDICES,
+            dpt_feature_dim=64, patch_size=16, encoder_family=family,
+        )
+        randomize_state_dict(mirror, seed=11)
+        mirror.eval()
+
+        sd = mirror.state_dict()
+        tree = convert_mapanything_checkpoint(sd, trunk_indices=INDICES)
+        assert "_unconverted" not in tree, (
+            f"unconverted keys: {tree.get('_unconverted', [])[:10]}"
+        )
+
+        rng = np.random.default_rng(13)
+        if family == "radio":
+            # radio conditions internally; both sides take [0, 1] images
+            x = rng.uniform(0, 1, (self.B, self.V, 3, self.H, self.W)
+                            ).astype(np.float32)
+        else:
+            x = rng.standard_normal((self.B, self.V, 3, self.H, self.W)
+                                    ).astype(np.float32) * 0.5
+        with torch.no_grad():
+            ref = mirror(torch.from_numpy(x))
+
+        cfg = MapAnythingConfig(
+            encoder_type=family, encoder_size="test", patch_size=16,
+            encoder_img_size=128,  # mirror pos_grid=8
+            trunk_dim=64, trunk_depth=4, trunk_num_heads=2,
+            trunk_indices=INDICES, dpt_feature_dim=64,
+            dpt_out_channels=(48, 96, 192, 384), dpt_hidden_dims=(32, 16),
+            dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        params = {"params": {k: v for k, v in tree.items()
+                             if not k.startswith("_")}}
+        views = {"img": jnp.asarray(x.transpose(0, 1, 3, 4, 2))}
+        ours = model.apply(params, views, images_only_config())
+        for k in ("pts3d", "ray_directions", "depth_along_ray", "cam_trans",
+                  "cam_quats", "conf"):
+            np.testing.assert_allclose(
+                np.asarray(ours[k], dtype=np.float32), ref[k].numpy(),
+                atol=2e-4, rtol=2e-3, err_msg=f"[{family}] '{k}' diverged",
+            )

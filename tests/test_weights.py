@@ -197,3 +197,31 @@ class TestLayerScaleFold:
         np.testing.assert_allclose(
             np.asarray(out).reshape(ref.shape), ref, atol=2e-4, rtol=1e-3
         )
+
+
+class TestCrocoConversion:
+    def test_patch_token_parity(self):
+        """CroCo/DUSt3R-layout encoder state_dict converts and the JAX
+        CroCoViT reproduces the torch mirror's patch tokens (the croco
+        oracle the round-2 review noted as missing)."""
+        from mapanything_tpu.nn.croco import CroCoViT
+        from mapanything_tpu.utils.weights import convert_croco
+        from torch_mirror import CrocoHubEncoder, randomize_state_dict
+
+        tm = CrocoHubEncoder(dim=64, depth=2, num_heads=2, patch_size=16)
+        randomize_state_dict(tm, seed=9)
+        tm.eval()
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((1, 3, 96, 64)).astype(np.float32) * 0.5
+        with torch.no_grad():
+            ref = tm(torch.from_numpy(x)).numpy()  # (1, C, gh, gw)
+
+        params, used = convert_croco(tm.state_dict())
+        assert used == len(tm.state_dict())
+
+        model = CroCoViT(size="test", patch_size=16, dtype=jnp.float32)
+        out = model.apply({"params": params},
+                          jnp.asarray(x.transpose(0, 2, 3, 1)))
+        out = np.asarray(out).transpose(0, 3, 1, 2)  # (1, C, gh, gw)
+        np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)

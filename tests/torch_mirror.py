@@ -76,10 +76,10 @@ LN6 = partial(nn.LayerNorm, eps=1e-6)
 class HubEncoder(nn.Module):
     """torch-hub-wrapped DINOv2 (state_dict prefix encoder.model.*)."""
 
-    def __init__(self, patch_size=14):
+    def __init__(self, patch_size=14, arch=vit_small):
         super().__init__()
-        self.model = vit_small(patch_size=patch_size, init_values=1.0,
-                               img_size=518, block_chunks=0)
+        self.model = arch(patch_size=patch_size, init_values=1.0,
+                          img_size=518, block_chunks=0)
         self.enc_embed_dim = self.model.embed_dim
         self.patch_size = patch_size
 
@@ -88,6 +88,45 @@ class HubEncoder(nn.Module):
         tokens = self.model.forward_features(imgs)["x_norm_patchtokens"]
         gh, gw = h // self.patch_size, w // self.patch_size
         return tokens.reshape(n, gh, gw, -1).permute(0, 3, 1, 2).contiguous()
+
+
+class CrocoHubEncoder(nn.Module):
+    """CroCo/DUSt3R-layout encoder (state_dict keys patch_embed.proj.*,
+    enc_blocks.N.*, enc_norm.*): conv patchify + fixed 2D sin-cos PE +
+    pre-norm ViT blocks without LayerScale. The sin-cos table is taken from
+    mapanything_tpu.nn.croco so the PE convention is pinned in ONE place
+    (real croco checkpoints ship it as the enc_pos_embed buffer, which the
+    converter skips and recomputes)."""
+
+    def __init__(self, dim=64, depth=2, num_heads=2, patch_size=16):
+        super().__init__()
+        self.patch_size = patch_size
+        self.enc_embed_dim = dim
+        pe = nn.Module()
+        pe.proj = nn.Conv2d(3, dim, patch_size, stride=patch_size)
+        self.patch_embed = pe
+        # vendored DINOv2 block with init_values=None == croco block layout
+        self.enc_blocks = nn.ModuleList(
+            [Block(dim, num_heads, qkv_bias=True, norm_layer=LN6)
+             for _ in range(depth)]
+        )
+        self.enc_norm = LN6(dim)
+
+    def forward(self, imgs):  # (N, 3, H, W) -> (N, C, gh, gw)
+        from mapanything_tpu.nn.croco import sincos_pos_embed_2d
+
+        n, _, h, w = imgs.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        x = self.patch_embed.proj(imgs)  # (N, C, gh, gw)
+        x = x.flatten(2).transpose(1, 2)  # (N, gh*gw, C)
+        pos = torch.from_numpy(
+            sincos_pos_embed_2d(gh, gw, x.shape[-1])
+        ).to(x.dtype)
+        x = x + pos[None]
+        for blk in self.enc_blocks:
+            x = blk(x)
+        x = self.enc_norm(x)
+        return x.reshape(n, gh, gw, -1).permute(0, 3, 1, 2).contiguous()
 
 
 class DenseRepEncoder(nn.Module):
@@ -298,11 +337,21 @@ class MirrorMapAnything(nn.Module):
     confidence+mask scene rep, scale token, alternating IFR trunk)."""
 
     def __init__(self, trunk_dim=64, trunk_depth=4, trunk_heads=2,
-                 indices=(1, 2), dpt_feature_dim=64, patch_size=14):
+                 indices=(1, 2), dpt_feature_dim=64, patch_size=14,
+                 encoder_family="dinov2"):
         super().__init__()
         self.patch_size = patch_size
         self.indices = indices
-        self.encoder = HubEncoder(patch_size)
+        if encoder_family == "dinov2":
+            self.encoder = HubEncoder(patch_size)
+        elif encoder_family == "croco":
+            self.encoder = CrocoHubEncoder(dim=64, depth=2, num_heads=2,
+                                           patch_size=patch_size)
+        elif encoder_family == "radio":
+            self.encoder = RadioMapsEncoder(dim=64, depth=2, num_heads=2,
+                                            patch_size=patch_size)
+        else:
+            raise ValueError(encoder_family)
         dim = self.encoder.enc_embed_dim
         self.ray_dirs_encoder = DenseRepEncoder(3, dim, patch_size)
         self.depth_encoder = DenseRepEncoder(1, dim, patch_size)
@@ -524,6 +573,23 @@ class RadioMirror(nn.Module):
             x = blk(x)
         x = self.model.norm(x)
         return x[:, 1 + self.num_registers:, :]
+
+
+class RadioMapsEncoder(RadioMirror):
+    """RadioMirror adapted to the MirrorMapAnything encoder seam: exposes
+    enc_embed_dim and returns (N, C, gh, gw) feature maps. Same state_dict
+    layout as RadioMirror (subclassing adds no tensors)."""
+
+    def __init__(self, dim=64, depth=2, num_heads=2, patch_size=16):
+        super().__init__(dim=dim, depth=depth, num_heads=num_heads,
+                         patch_size=patch_size)
+        self.enc_embed_dim = dim
+
+    def forward(self, imgs):  # (N, 3, H, W) in [0,1] -> (N, C, gh, gw)
+        n, _, h, w = imgs.shape
+        gh, gw = h // self.patch_size, w // self.patch_size
+        tokens = super().forward(imgs)
+        return tokens.reshape(n, gh, gw, -1).permute(0, 3, 1, 2).contiguous()
 
 
 def randomize_state_dict(model: nn.Module, seed: int = 0) -> None:
