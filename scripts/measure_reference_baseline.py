@@ -74,16 +74,16 @@ def main():
     ap.add_argument("--iters", type=int, default=2)
     args = ap.parse_args()
 
+    from torch_mirror import HubEncoder, MirrorMapAnything  # stubs pkgs
     from mapanything.models.external.dinov2.models.vision_transformer import (
         vit_large,
     )
-    from torch_mirror import HubEncoder, MirrorMapAnything
 
     torch.manual_seed(0)
     m = MirrorMapAnything(trunk_dim=1024, trunk_depth=24, trunk_heads=16,
                           indices=(11, 17), dpt_feature_dim=256,
-                          patch_size=14)
-    m.encoder = HubEncoder(patch_size=14, arch=vit_large)
+                          patch_size=14,
+                          encoder=HubEncoder(patch_size=14, arch=vit_large))
     m.eval()
     n_params = sum(p.numel() for p in m.parameters())
 

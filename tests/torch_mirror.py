@@ -338,11 +338,13 @@ class MirrorMapAnything(nn.Module):
 
     def __init__(self, trunk_dim=64, trunk_depth=4, trunk_heads=2,
                  indices=(1, 2), dpt_feature_dim=64, patch_size=14,
-                 encoder_family="dinov2"):
+                 encoder_family="dinov2", encoder=None):
         super().__init__()
         self.patch_size = patch_size
         self.indices = indices
-        if encoder_family == "dinov2":
+        if encoder is not None:
+            self.encoder = encoder  # caller-built (e.g. flagship ViT-L)
+        elif encoder_family == "dinov2":
             self.encoder = HubEncoder(patch_size)
         elif encoder_family == "croco":
             self.encoder = CrocoHubEncoder(dim=64, depth=2, num_heads=2,
