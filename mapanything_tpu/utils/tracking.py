@@ -202,3 +202,60 @@ def select_query_points(
     top = jnp.argsort(-vals)[:num_points]
     pts = jnp.stack([ys[top], xs[top]], axis=-1).astype(jnp.float32)
     return pts, vals[top]
+
+
+def rank_query_frames(frame_feats: jnp.ndarray, num_frames: int) -> list:
+    """Rank frames for multi-query tracking: most-central first, then
+    farthest-point sampling over feature distance.
+
+    Contract parity with the reference's DINO frame ranking
+    (third_party/vggsfm_utils.py:52 generate_rank_by_dino + its
+    farthest_point_sampling): build the cosine-similarity matrix of
+    per-frame features, start from the frame with the highest total
+    similarity (the most "representative" view), then greedily add the
+    frame farthest (in 100 - sim distance) from everything selected so
+    far. The reference runs a separately-downloaded dinov2_vitb14_reg for
+    the features; here the caller passes any (F, D) per-frame features —
+    ``frame_features_from_encoder`` derives them from the model's own
+    DINOv2 encoder, so no extra weights are needed.
+
+    Args:
+        frame_feats: (F, D) per-frame descriptors.
+        num_frames: how many query frames to select.
+
+    Returns:
+        list of int frame indices, length min(num_frames, F).
+    """
+    import numpy as np
+
+    f = np.asarray(frame_feats, np.float32)
+    f = f / (np.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)
+    sim = f @ f.T  # (F, F)
+    dist = 100.0 - sim
+    np.fill_diagonal(sim, -100.0)
+    start = int(np.argmax(sim.sum(axis=1)))
+
+    selected = [start]
+    num = min(num_frames, len(f))
+    while len(selected) < num:
+        # distance of every frame to its nearest selected frame
+        d = dist[:, selected].min(axis=1)
+        d[selected] = -np.inf
+        selected.append(int(np.argmax(d)))
+    return selected
+
+
+def frame_features_from_encoder(encoder_apply, images: jnp.ndarray,
+                                batch: int = 8) -> jnp.ndarray:
+    """Mean-pooled, L2-normalized encoder patch tokens per frame.
+
+    ``encoder_apply``: callable (F', H, W, 3) -> (F', N, D) patch tokens
+    (e.g. the MapAnything model's own DINOv2 encoder bound to its params).
+    Frames are processed in chunks of ``batch`` to bound activation memory.
+    """
+    feats = []
+    for i in range(0, images.shape[0], batch):
+        tok = encoder_apply(images[i:i + batch])
+        feats.append(tok.mean(axis=1))
+    f = jnp.concatenate(feats, axis=0)
+    return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)

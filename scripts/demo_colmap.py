@@ -36,6 +36,9 @@ def main():
     ap.add_argument("--ba", action="store_true",
                     help="refine with the on-device track + LM-BA path")
     ap.add_argument("--max_query_pts", type=int, default=1024)
+    ap.add_argument("--num_query_frames", type=int, default=3,
+                    help="track from this many ranked query frames "
+                         "(reference default behavior; 1 = frame 0 only)")
     ap.add_argument("--vis_thresh", type=float, default=0.6)
     ap.add_argument("--ba_iters", type=int, default=20)
     args = ap.parse_args()
@@ -121,30 +124,69 @@ def main():
         from mapanything_tpu.geometry import rotation_matrix_to_quaternion
         from mapanything_tpu.utils.ba import BAProblem, bundle_adjust
         from mapanything_tpu.utils.tracking import (
+            frame_features_from_encoder,
+            rank_query_frames,
             select_query_points,
             to_gray,
             track_points,
         )
 
         imgs = np.stack([np.asarray(p["img_no_norm"][0]) for p in preds])
-        if "conf" in preds[0]:
-            conf0 = np.asarray(preds[0]["conf"][0])
-        else:
-            conf0 = np.ones(imgs.shape[1:3], np.float32)
 
-        q_yx, _ = select_query_points(
-            jnp.asarray(conf0), to_gray(jnp.asarray(imgs[0])),
-            args.max_query_pts,
-        )
-        tracks_yx, vis = track_points(jnp.asarray(imgs), q_yx)
-        tracks_xy = np.asarray(tracks_yx)[..., ::-1].copy()
-        vis = np.asarray(vis)
-        track_mask = vis > args.vis_thresh
+        # Query-frame ranking (reference third_party/track_predict.py:68
+        # ranks with a separately-downloaded DINO; here the model's OWN
+        # DINOv2 encoder supplies the frame features), then frame 0 is
+        # forced to the front exactly like the reference (:71-74).
+        query_frames = [0]
+        if args.num_query_frames > 1 and v > 1:
+            if cfg.encoder_type == "dinov2":
+                from mapanything_tpu.nn.dinov2 import DinoViT
 
-        qi = np.asarray(q_yx).astype(int)
-        pts3d0 = np.asarray(preds[0]["pts3d"][0])
-        ba_points = pts3d0[qi[:, 0], qi[:, 1]]
-        point_rgb = (imgs[0][qi[:, 0], qi[:, 1]] * 255).astype(np.uint8)
+                enc = DinoViT(size=cfg.encoder_size,
+                              patch_size=cfg.patch_size, dtype=cfg.dtype,
+                              fold_layerscale=cfg.fold_layerscale)
+                enc_params = {"params": params["params"]["encoder"]}
+                feats = frame_features_from_encoder(
+                    jax.jit(lambda x: enc.apply(enc_params, x)),
+                    batched["img"][0],
+                )
+                ranked = rank_query_frames(feats, args.num_query_frames)
+            else:  # luma histogram fallback for croco/radio configs
+                f = jnp.stack([jnp.histogram(to_gray(jnp.asarray(im)),
+                                             bins=64, range=(0, 1))[0]
+                               for im in imgs]).astype(jnp.float32)
+                ranked = rank_query_frames(f, args.num_query_frames)
+            query_frames += [i for i in ranked if i != 0]
+            query_frames = query_frames[:args.num_query_frames]
+        print(f"query frames: {query_frames}")
+
+        # Track from every query frame, concatenate the track sets
+        # (reference track_predict.py:93-117 loops query_frame_indexes).
+        pts_per_frame = max(1, args.max_query_pts // len(query_frames))
+        all_xy, all_mask, all_pts, all_rgb = [], [], [], []
+        for qf in query_frames:
+            if "conf" in preds[qf]:
+                conf_q = np.asarray(preds[qf]["conf"][0])
+            else:
+                conf_q = np.ones(imgs.shape[1:3], np.float32)
+            q_yx, _ = select_query_points(
+                jnp.asarray(conf_q), to_gray(jnp.asarray(imgs[qf])),
+                pts_per_frame,
+            )
+            tracks_yx, vis_q = track_points(jnp.asarray(imgs), q_yx,
+                                            query_frame=qf)
+            all_xy.append(np.asarray(tracks_yx)[..., ::-1])
+            all_mask.append(np.asarray(vis_q) > args.vis_thresh)
+            qi = np.asarray(q_yx).astype(int)
+            all_pts.append(
+                np.asarray(preds[qf]["pts3d"][0])[qi[:, 0], qi[:, 1]])
+            all_rgb.append(
+                (imgs[qf][qi[:, 0], qi[:, 1]] * 255).astype(np.uint8))
+
+        tracks_xy = np.concatenate(all_xy, axis=1).copy()   # (F, P, 2)
+        track_mask = np.concatenate(all_mask, axis=1)
+        ba_points = np.concatenate(all_pts, axis=0)
+        point_rgb = np.concatenate(all_rgb, axis=0)
 
         w2c = np.linalg.inv(poses)
         quats0 = np.asarray(
