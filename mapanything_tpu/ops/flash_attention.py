@@ -56,7 +56,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
 
     if kv_len % block_k != 0:  # static: no mask at all for aligned kv
         # Additive (1, bk) bias row instead of a per-element iota/compare/
-        # select over (bq, bk): one broadcast add on the VPU.
+        # select over (bq, bk): one broadcast add on the VPU. Only the
+        # final k-block holds padded columns, but branch-gating the add on
+        # j == nk-1 with lax.cond was MEASURED SLOWER (49 vs 67 TF/s at the
+        # 100-view shape — the cond forces S through a both-branch select
+        # and breaks Mosaic's pipeline), so the add runs unconditionally;
+        # for j < nk-1 every bias element is 0.
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, s.shape[1]), 1)
         bias = jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
@@ -136,21 +141,26 @@ def pick_block(n: int, target: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("block_q", "block_k", "interpret", "single_pass_max"),
 )
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    block_q: int = 1024,
+    block_q: int = 1408,  # single q-block at ViT-518 length (measured +7%)
     block_k: int = 2048,
     interpret: bool = False,
+    single_pass_max: int = 2816,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v without materializing the score matrix.
 
     Args:
         q, k, v: (B, N, H, D); N may be ragged w.r.t. block sizes (padded +
             masked internally).
+        single_pass_max: kv widths up to this take the 1-pass kernel (test
+            knob: lower it to exercise the online multi-block kernel at
+            small shapes).
 
     Returns:
         (B, N, H, D) in q.dtype.
@@ -159,15 +169,22 @@ def flash_attention(
     kv_len = k.shape[1]
     scale = d**-0.5
 
-    block_q = pick_block(n, block_q)
     # Prefer ONE k-block whenever the whole kv fits a VMEM-safe width:
     # the single-pass kernel then applies (no online-softmax carry). At
     # 2816 x block_q the score tile still fits comfortably; longer kv
     # (32/100-view global attention) takes the online multi-block path.
-    if _round_up(kv_len, 128) <= 2816:
+    if _round_up(kv_len, 128) <= single_pass_max:
         block_k = _round_up(kv_len, 128)
+        block_q = pick_block(n, block_q)
     else:
         block_k = pick_block(kv_len, block_k)
+        # The online kernel's VMEM footprint scales with block_q x block_k
+        # (bf16 S and P tiles plus an fp32 exp2 intermediate): 1024 x 2048
+        # overflows the 16 MB scoped-VMEM limit. Cap q-blocks so the tile
+        # area stays within the proven budget — a wide k-block is preferred
+        # over a tall q-block because the acc-rescale work per k-block is
+        # O(n_pad * d * num_k_blocks), independent of block_q.
+        block_q = pick_block(n, min(block_q, 2**20 // block_k))
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 

@@ -50,6 +50,8 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(s_dtype)
     if kv_len % block_k != 0:  # static: no mask at all for aligned kv
+        # Unconditional like the serving kernel: branch-gating on the final
+        # k-block with lax.cond measured slower (see flash_attention.py).
         col = j * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (1, s.shape[1]), 1)
         s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
@@ -339,14 +341,21 @@ def _bwd(res, g):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_trainable(q, k, v, block_q: int = 1024,
-                              block_k: int = 1024):
-    """Flash attention with a Pallas backward pass (for training graphs)."""
+def flash_attention_trainable(q, k, v, block_q: int = 1408,
+                              block_k: int = 2048):
+    """Flash attention with a Pallas backward pass (for training graphs).
+
+    The primal (serving) body runs the flash kernel at the full block_q —
+    one q-block at ViT-518 length (measured +7%). Under differentiation the
+    fwd-with-lse / dq / dkv kernels cap block_q at 1024: their VMEM tiles
+    scale with block_q x block_k (three fp32 (bq, bk) intermediates in the
+    dkv kernel), and 1408 x 1408 tiles would overflow VMEM.
+    """
     return flash_attention(q, k, v, block_q=block_q, block_k=block_k)
 
 
 def _vjp_fwd(q, k, v, block_q, block_k):
-    return _fwd_with_lse(q, k, v, block_q, block_k)
+    return _fwd_with_lse(q, k, v, min(block_q, 1024), min(block_k, 1024))
 
 
 def _vjp_bwd(block_q, block_k, res, g):

@@ -27,6 +27,19 @@ class TestFlashAttention:
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
         )
 
+    @pytest.mark.parametrize("n", [384, 500])  # aligned + ragged final block
+    def test_online_multiblock_matches_xla(self, rng, n):
+        """The online-softmax k-block kernel (the serving path for >2816-token
+        kv, i.e. 32/100-view global attention) incl. the branch-gated
+        final-block padding mask."""
+        q, k, v = _qkv(rng, 2, n, 4, 64)
+        ref = _sdpa_xla(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
+                              interpret=True, single_pass_max=128)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
     def test_single_block(self, rng):
         q, k, v = _qkv(rng, 1, 128, 2, 32)
         ref = _sdpa_xla(q, k, v)
