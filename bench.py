@@ -64,6 +64,7 @@ def main():
         MapAnything,
         MapAnythingConfig,
         images_only_config,
+        jit_init,
     )
     from mapanything_tpu.utils.inference import postprocess_outputs
 
@@ -104,7 +105,7 @@ def main():
     # encoders only materialize when conditioning inputs are present, so
     # init with the multimodal signature (superset) and reuse everywhere.
     sig_views = make_views(1, 2, 210, 518, multimodal=True)
-    params = model.init(jax.random.PRNGKey(0), sig_views, multimodal_cfg)
+    params = jit_init(model, jax.random.PRNGKey(0), sig_views, multimodal_cfg)
 
     post = jax.jit(
         lambda preds, imgs: postprocess_outputs(
@@ -207,7 +208,7 @@ def main():
             import optax  # noqa: F401
 
             from mapanything_tpu.data.synthetic import make_synthetic_batch
-            from mapanything_tpu.models import aug_training_config
+            from mapanything_tpu.models import jit_init, aug_training_config
             from mapanything_tpu.train import (
                 OptimConfig,
                 OverallLossConfig,
@@ -224,7 +225,7 @@ def main():
             tmodel = MapAnything(cfg=tcfg)
             batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
             geom = aug_training_config()
-            tparams = tmodel.init(jax.random.PRNGKey(0), batch["views"],
+            tparams = jit_init(tmodel, jax.random.PRNGKey(0), batch["views"],
                                   geom, rng=jax.random.PRNGKey(1))
             state = create_train_state(tmodel, tparams, OptimConfig())
             step = jax.jit(make_train_step(tmodel, geom, OverallLossConfig()),

@@ -30,6 +30,37 @@ def model_factory(model_str: str = "mapanything", **overrides) -> MapAnything:
 
 from .tasks import TASK_NAMES, task_config
 
+
+def jit_init(model, rngs, *args, **kwargs):
+    """``model.init`` under ONE jitted program.
+
+    Eager Flax init dispatches every parameter initializer as its own tiny
+    XLA program — ~435 compilations (~30 s on CPU, worse over a TPU tunnel
+    where each dispatch pays the RTT) for the full MapAnything model. Traced
+    as a single program it compiles once and hits the persistent compile
+    cache on repeat runs.
+
+    Array leaves (views, rng keys) are passed as traced arguments so they
+    don't bloat the program as embedded constants; everything else (config
+    dataclasses, flags) is closed over statically.
+    """
+    import jax as _jax
+    import numpy as _np
+
+    flat, treedef = _jax.tree_util.tree_flatten((rngs, args, kwargs))
+    is_arr = [isinstance(l, (_jax.Array, _np.ndarray)) for l in flat]
+    statics = [None if a else l for l, a in zip(flat, is_arr)]
+
+    @_jax.jit
+    def _init(arr_leaves):
+        it = iter(arr_leaves)
+        rebuilt = [next(it) if a else s for s, a in zip(statics, is_arr)]
+        r, ar, kw = _jax.tree_util.tree_unflatten(treedef, rebuilt)
+        return model.init(r, *ar, **kw)
+
+    return _init([l for l, a in zip(flat, is_arr) if a])
+
+
 __all__ = [
     "GeometricInputConfig",
     "MapAnything",
@@ -38,6 +69,7 @@ __all__ = [
     "TASK_NAMES",
     "aug_training_config",
     "images_only_config",
+    "jit_init",
     "model_factory",
     "task_config",
 ]

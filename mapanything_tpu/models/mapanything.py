@@ -59,6 +59,7 @@ from ..nn.dinov2 import DinoViT
 from ..nn.dpt import DPTFeature, DPTRegressionProcessor
 from ..nn.encoders import DenseRepEncoder, GlobalRepEncoder
 from ..nn.heads import MLPHead, PoseHead
+from ..nn.layers import FusedLayerNorm
 from ..nn.trunk import AlternatingAttentionTrunk
 
 
@@ -299,7 +300,7 @@ class MapAnything(nn.Module):
         fused = enc_feats.astype(jnp.float32)
         fused = self._fuse_geometric_priors(fused, views, geom_cfg, rng,
                                             enc_dim, b, v, h, w)
-        fused = nn.LayerNorm(
+        fused = FusedLayerNorm(
             epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
             name="fusion_norm",
         )(fused)

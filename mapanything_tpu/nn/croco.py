@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.attention import sdpa
-from .layers import Mlp
+from .layers import FusedLayerNorm, Mlp
 
 CROCO_CONFIGS = {
     # "test" is a 2-layer stub with the same module structure, for fast
@@ -100,21 +100,21 @@ class DecoderBlock(nn.Module):
     ) -> jnp.ndarray:
         from .layers import Attention
 
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
+        ln = lambda name: FusedLayerNorm(  # noqa: E731
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name=name,
         )
-        h = ln("norm1")(x).astype(self.dtype)
+        h = ln("norm1")(x)
         x = x + Attention(self.dim, self.num_heads, dtype=self.dtype,
                           param_dtype=self.param_dtype,
                           attn_impl=self.attn_impl, name="self_attn")(h)
-        h = ln("norm2")(x).astype(self.dtype)
-        ctx = ln("norm_context")(context).astype(self.dtype)
+        h = ln("norm2")(x)
+        ctx = ln("norm_context")(context)
         x = x + CrossAttention(self.dim, self.num_heads, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                attn_impl=self.attn_impl,
                                name="cross_attn")(h, ctx, key_mask=key_mask)
-        h = ln("norm3")(x).astype(self.dtype)
+        h = ln("norm3")(x)
         x = x + Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="mlp")(h)
         return x
@@ -154,6 +154,6 @@ class CroCoViT(nn.Module):
             x = Block(dim, cfg["num_heads"], dtype=self.dtype,
                       param_dtype=self.param_dtype, attn_impl=self.attn_impl,
                       name=f"blocks_{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="norm")(x)
-        return x.reshape(b, gh, gw, dim).astype(self.dtype)
+        x = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="norm")(x)
+        return x.reshape(b, gh, gw, dim)

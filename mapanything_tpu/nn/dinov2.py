@@ -27,7 +27,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import Block
+from .layers import Block, FusedLayerNorm
 
 # torch-hub DINOv2 configuration table.
 DINOV2_CONFIGS = {
@@ -242,8 +242,9 @@ class DinoViT(nn.Module):
                 name=f"blocks_{i}",
             )(x)
 
-        x = nn.LayerNorm(
-            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        x = FusedLayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm",
         )(x)
         patch_tokens = x[:, 1 + self.num_register_tokens :, :]
-        return patch_tokens.reshape(b, gh, gw, dim).astype(self.dtype)
+        return patch_tokens.reshape(b, gh, gw, dim)

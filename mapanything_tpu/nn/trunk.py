@@ -39,7 +39,7 @@ from typing import Optional, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import Block
+from .layers import Block, FusedLayerNorm
 
 
 class AlternatingAttentionTrunk(nn.Module):
@@ -151,15 +151,16 @@ class AlternatingAttentionTrunk(nn.Module):
             if i in self.indices:
                 feat = x
                 if self.norm_intermediate:
-                    feat = nn.LayerNorm(
-                        epsilon=1e-6, dtype=jnp.float32,
+                    feat = FusedLayerNorm(
+                        epsilon=1e-6, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"norm_intermediate_{i}",
                     )(feat).astype(self.dtype)
                 intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
 
-        final_norm = nn.LayerNorm(
-            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        final_norm = FusedLayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm",
         )
         x = final_norm(x).astype(self.dtype)
         tok = final_norm(tok).astype(self.dtype)
@@ -235,15 +236,15 @@ class CrossAttentionTrunk(AlternatingAttentionTrunk):
             if i in self.indices:
                 feat = x
                 if self.norm_intermediate:
-                    feat = nn.LayerNorm(
-                        epsilon=1e-6, dtype=jnp.float32,
+                    feat = FusedLayerNorm(
+                        epsilon=1e-6, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"norm_intermediate_{i}",
                     )(feat).astype(self.dtype)
                 intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
 
-        final_norm = nn.LayerNorm(
-            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype,
+        final_norm = FusedLayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm",
         )
         x = final_norm(x).astype(self.dtype)
@@ -291,15 +292,16 @@ class GlobalAttentionTrunk(AlternatingAttentionTrunk):
             if i in self.indices:
                 feat = x
                 if self.norm_intermediate:
-                    feat = nn.LayerNorm(
-                        epsilon=1e-6, dtype=jnp.float32,
+                    feat = FusedLayerNorm(
+                        epsilon=1e-6, dtype=self.dtype,
                         param_dtype=self.param_dtype,
                         name=f"norm_intermediate_{i}",
                     )(feat).astype(self.dtype)
                 intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
 
-        final_norm = nn.LayerNorm(
-            epsilon=1e-6, dtype=jnp.float32, param_dtype=self.param_dtype, name="norm"
+        final_norm = FusedLayerNorm(
+            epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm",
         )
         x = final_norm(x).astype(self.dtype)
         tok = final_norm(tok).astype(self.dtype)

@@ -30,7 +30,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..models import GeometricInputConfig, MapAnything, aug_training_config
+from ..models import jit_init, GeometricInputConfig, MapAnything, aug_training_config
 from .checkpoints import load_train_state, save_train_state
 from .losses import OverallLossConfig
 from .step import OptimConfig, TrainState, create_train_state, make_train_step
@@ -158,7 +158,7 @@ def train(
     first_batch = next(iter(train_loader))
     views0 = {k: jnp.asarray(v) for k, v in first_batch["views"].items()}
     if init_params is None:
-        init_params = model.init(rng, views0, geom_cfg,
+        init_params = jit_init(model, rng, views0, geom_cfg,
                                  rng=jax.random.PRNGKey(1))
     if mesh is not None:
         from ..parallel import shard_params

@@ -48,6 +48,7 @@ def main():
     from mapanything_tpu.data.loader import get_test_data_loader
     from mapanything_tpu.data.wai_datasets import WAIDataset
     from mapanything_tpu.models import (
+        jit_init,
         GeometricInputConfig,
         MapAnything,
         MapAnythingConfig,
@@ -89,7 +90,7 @@ def main():
 
                 params = load_params(args.checkpoint)
             else:
-                params = model.init(jax.random.PRNGKey(0), views0, geom_cfg)
+                params = jit_init(model, jax.random.PRNGKey(0), views0, geom_cfg)
                 print("WARNING: random weights (no --checkpoint)")
 
         summary = run_dense_n_view_benchmark(

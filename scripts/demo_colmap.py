@@ -48,6 +48,7 @@ def main():
 
     from mapanything_tpu.data.image import load_images
     from mapanything_tpu.models import (
+        jit_init,
         MapAnything,
         MapAnythingConfig,
         images_only_config,
@@ -77,7 +78,7 @@ def main():
 
         params = load_params(args.checkpoint)
     else:
-        params = model.init(jax.random.PRNGKey(0), batched,
+        params = jit_init(model, jax.random.PRNGKey(0), batched,
                             images_only_config())
         print("WARNING: random weights (no --checkpoint)")
 

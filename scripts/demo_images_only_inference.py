@@ -59,6 +59,7 @@ def main():
 
     from mapanything_tpu.data.image import load_images
     from mapanything_tpu.models import (
+        jit_init,
         MapAnything,
         MapAnythingConfig,
         images_only_config,
@@ -95,7 +96,7 @@ def main():
         params = load_params(args.checkpoint)
         print(f"loaded checkpoint {args.checkpoint}")
     else:
-        params = model.init(jax.random.PRNGKey(0), batched, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), batched, images_only_config())
         print("WARNING: random weights (no --checkpoint) — smoke mode")
 
     pipe = InferencePipeline(model, params)

@@ -17,6 +17,7 @@ from mapanything_tpu.geometry import (
     rigid_points_registration,
 )
 from mapanything_tpu.models import (
+    jit_init,
     MapAnything,
     MapAnythingConfig,
     ModularDUSt3R,
@@ -90,7 +91,7 @@ class TestAdapterSeam:
         model = ModularDUSt3R(cfg=TINY_DUST3R)
         adapter = ModularDUSt3RAdapter(model)
         batch = make_synthetic_batch(2, 2, 16, 16, seed=3)
-        params = adapter.init(jax.random.PRNGKey(0), batch["views"])
+        params = jit_init(adapter, jax.random.PRNGKey(0), batch["views"])
         loader = _SyntheticLoader([
             jax.tree_util.tree_map(np.asarray, batch)
         ])
@@ -109,7 +110,7 @@ class TestAdapterSeam:
         model = ModularDUSt3R(cfg=TINY_DUST3R)
         adapter = ModularDUSt3RAdapter(model)
         views = {"img": jnp.zeros((1, 2, 16, 16, 3))}
-        params = adapter.init(jax.random.PRNGKey(0), views)
+        params = jit_init(adapter, jax.random.PRNGKey(0), views)
         preds = adapter.apply(params, views)
         for key in FACTORED_PRED_KEYS:
             assert key in preds, f"missing factored key {key}"
@@ -184,7 +185,7 @@ class TestRMVDAdaptor:
             "img": jnp.zeros((1, 2, h, w, 3)),
             "ray_directions_cam": jnp.zeros((1, 2, h, w, 3)),
         }
-        params = model.init(jax.random.PRNGKey(0), init_views)
+        params = jit_init(model, jax.random.PRNGKey(0), init_views)
 
         adaptor = RMVDAdaptor(model, params,
                               inference_conditioning="image+intrinsics")
@@ -217,7 +218,7 @@ class TestRMVDAdaptor:
         )
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.zeros((1, 2, 28, 28, 3))}
-        params = model.init(jax.random.PRNGKey(0), views)
+        params = jit_init(model, jax.random.PRNGKey(0), views)
         a = RMVDAdaptor(model, params,
                         inference_conditioning="image+intrinsics+pose")
         k = np.asarray(

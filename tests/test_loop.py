@@ -90,6 +90,7 @@ def _overfit(steps: int, lr: float = 3e-3, min_lr_frac: float = 0.5) -> tuple:
     training.py:575-664 val protocol)."""
     from mapanything_tpu.data.synthetic import make_synthetic_batch
     from mapanything_tpu.models import (
+        jit_init,
         MapAnything,
         MapAnythingConfig,
         aug_training_config,
@@ -114,7 +115,7 @@ def _overfit(steps: int, lr: float = 3e-3, min_lr_frac: float = 0.5) -> tuple:
     # fixed streams (measured-good trajectory; stochastic prior dropout
     # makes convergence speed stream-dependent on a tiny model)
     init_rng, step_rng = jax.random.PRNGKey(0), jax.random.PRNGKey(1)
-    params = model.init(init_rng, batch["views"], geom, rng=init_rng)
+    params = jit_init(model, init_rng, batch["views"], geom, rng=init_rng)
     state = create_train_state(
         model, params,
         OptimConfig(lr=lr, encoder_lr_scale=1.0, warmup_steps=10,

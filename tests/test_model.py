@@ -7,11 +7,12 @@ import jax
 import jax.numpy as jnp
 
 from mapanything_tpu.models import (
+    aug_training_config,
     GeometricInputConfig,
+    images_only_config,
+    jit_init,
     MapAnything,
     MapAnythingConfig,
-    aug_training_config,
-    images_only_config,
 )
 from mapanything_tpu.utils.inference import (
     InferencePipeline,
@@ -40,7 +41,7 @@ B, V, H, W = 1, 2, 28, 42
 def tiny_model_and_params():
     model = MapAnything(cfg=TINY)
     views = _full_views()
-    params = model.init(jax.random.PRNGKey(0), views, GeometricInputConfig())
+    params = jit_init(model, jax.random.PRNGKey(0), views, GeometricInputConfig())
     return model, params
 
 

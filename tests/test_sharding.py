@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from mapanything_tpu.data.synthetic import make_synthetic_batch
 from mapanything_tpu.models import (
     GeometricInputConfig,
+    jit_init,
     MapAnything,
     MapAnythingConfig,
 )
@@ -34,7 +35,7 @@ def setup():
     model = MapAnything(cfg=TINY)
     batch = make_synthetic_batch(batch_size=4, num_views=2, height=28, width=28)
     geom = GeometricInputConfig()
-    params = model.init(jax.random.PRNGKey(0), batch["views"], geom)
+    params = jit_init(model, jax.random.PRNGKey(0), batch["views"], geom)
     return model, batch, geom, params
 
 

@@ -9,11 +9,12 @@ import jax.numpy as jnp
 
 from mapanything_tpu.models import (
     GeometricInputConfig,
+    jit_init,
     MapAnything,
+    mapanything_ablations_config,
     MapAnythingConfig,
     ModularDUSt3R,
     ModularDUSt3RConfig,
-    mapanything_ablations_config,
 )
 
 B, V, H, W = 1, 2, 28, 42
@@ -33,7 +34,7 @@ class TestAblations:
         views = {"img": jnp.ones((B, V, H, W, 3))}
         from mapanything_tpu.models import images_only_config
 
-        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         names = ["/".join(str(k) for k in kp) for kp, _ in flat]
         assert not any("scale_token" in n or "scale_head" in n for n in names)
@@ -51,7 +52,7 @@ class TestAblations:
         views = {"img": jnp.ones((B, V, H, W, 3)) * 0.3}
         from mapanything_tpu.models import images_only_config
 
-        p1 = base.init(jax.random.PRNGKey(0), views, images_only_config())
+        p1 = jit_init(base, jax.random.PRNGKey(0), views, images_only_config())
         o1 = base.apply(p1, views, images_only_config())
         o2 = roped.apply(p1, views, images_only_config())  # same params
         assert float(jnp.abs(o1["depth_along_ray"] - o2["depth_along_ray"]).max()) > 1e-6
@@ -64,7 +65,7 @@ class TestModularDUSt3R:
                                   dtype=jnp.float32)
         model = ModularDUSt3R(cfg=cfg)
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.1}
-        params = model.init(jax.random.PRNGKey(0), views)
+        params = jit_init(model, jax.random.PRNGKey(0), views)
         out = model.apply(params, views)
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
         assert out["conf"].shape == (1, 2, 32, 32)
@@ -82,7 +83,7 @@ class TestCrossTrunk:
         )
         feats = jnp.ones((1, 3, 4, 4, 64)) * 0.1
         tok = jnp.ones((1, 1, 64)) * 0.1
-        params = trunk.init(jax.random.PRNGKey(0), feats, tok)
+        params = jit_init(trunk, jax.random.PRNGKey(0), feats, tok)
         final, inters, tok_out = trunk.apply(params, feats, tok)
         assert final.shape == (1, 3, 4, 4, 64)
         assert len(inters) == 1
@@ -107,7 +108,7 @@ class TestCrocoEncoderModel:
         from mapanything_tpu.models import images_only_config
 
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.2}
-        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
         out = model.apply(params, views, images_only_config())
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
 
@@ -123,7 +124,7 @@ class TestCrocoEncoderModel:
         from mapanything_tpu.models import images_only_config
 
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.5}
-        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
         out = model.apply(params, views, images_only_config())
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
 
@@ -131,7 +132,7 @@ class TestCrocoEncoderModel:
         cfg = MapAnythingConfig(encoder_type="bogus")
         model = MapAnything(cfg=cfg)
         with pytest.raises(ValueError, match="encoder_type"):
-            model.init(jax.random.PRNGKey(0),
+            jit_init(model, jax.random.PRNGKey(0),
                        {"img": jnp.ones((1, 2, 28, 28, 3))})
 
 
@@ -145,7 +146,7 @@ class TestSceneRepVariants:
         )
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.ones((B, V, H, W, 3)) * 0.2}
-        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
         out = model.apply(params, views, images_only_config())
         assert out["pts3d"].shape == (B, V, H, W, 3)
         # factored consistency holds for derived dirs/depth
@@ -162,7 +163,7 @@ class TestSceneRepVariants:
         cfg = MapAnythingConfig(scene_rep_type="bogus", **tiny_overrides())
         model = MapAnything(cfg=cfg)
         with pytest.raises(ValueError, match="scene_rep_type"):
-            model.init(jax.random.PRNGKey(0),
+            jit_init(model, jax.random.PRNGKey(0),
                        {"img": jnp.ones((1, 2, 28, 28, 3))})
 
 
@@ -179,7 +180,7 @@ class TestTrunkOptions:
                                            num_heads=2, indices=(0,),
                                            use_entropy_scaling=True,
                                            dtype=jnp.float32)
-        params = base.init(jax.random.PRNGKey(0), feats, tok)
+        params = jit_init(base, jax.random.PRNGKey(0), feats, tok)
         o1 = base.apply(params, feats, tok)[0]
         o2 = scaled.apply(params, feats, tok)[0]
         # 4 views x 16 patches > 16-patch base -> global layers get scaled
@@ -193,7 +194,7 @@ class TestTrunkOptions:
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.ones((1, 3, H, W, 3)) * 0.2}
         geom = aug_training_config()
-        params = model.init(jax.random.PRNGKey(0), views, geom,
+        params = jit_init(model, jax.random.PRNGKey(0), views, geom,
                             rng=jax.random.PRNGKey(1))
         o1 = model.apply(params, views, geom, rng=jax.random.PRNGKey(2))
         o2 = model.apply(params, views, geom, rng=jax.random.PRNGKey(3))
@@ -231,7 +232,7 @@ class TestInfoSharingTypes:
         model = MapAnything(cfg=cfg)
         batch = make_synthetic_batch(1, 4, 28, 28, seed=11)
         geom = images_only_config()
-        params = model.init(jax.random.PRNGKey(0), batch["views"], geom)
+        params = jit_init(model, jax.random.PRNGKey(0), batch["views"], geom)
         state = create_train_state(model, params, OptimConfig())
         step = jax.jit(make_train_step(model, geom,
                                OverallLossConfig(use_normal_gm=False)))
@@ -244,7 +245,7 @@ class TestInfoSharingTypes:
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.zeros((1, 2, 28, 28, 3))}
         with pytest.raises(ValueError, match="info_sharing_type"):
-            model.init(jax.random.PRNGKey(0), views)
+            jit_init(model, jax.random.PRNGKey(0), views)
 
 
 class TestCrossTrunkVectorization:
@@ -264,7 +265,7 @@ class TestCrossTrunkVectorization:
         rng = np.random.default_rng(3)
         feats = jnp.asarray(rng.normal(size=(b, v, g, g, c)), jnp.float32)
         tok = jnp.asarray(rng.normal(size=(b, 1, c)), jnp.float32)
-        params = trunk.init(jax.random.PRNGKey(0), feats, tok)
+        params = jit_init(trunk, jax.random.PRNGKey(0), feats, tok)
         final, _, _ = trunk.apply(params, feats, tok)
 
         # expected: per-view python loop with explicitly gathered contexts,
@@ -319,7 +320,7 @@ class TestSceneRepFamilies:
         )
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.ones((1, 2, 28, 28, 3)) * 0.1}
-        params = model.init(jax.random.PRNGKey(0), views, images_only_config())
+        params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
         out = model.apply(params, views, images_only_config())
         for k in expect:
             assert k in out, k
@@ -339,5 +340,5 @@ class TestSceneRepFamilies:
         )
         model = MapAnything(cfg=cfg)
         with pytest.raises(ValueError, match="dense_output_dim"):
-            model.init(jax.random.PRNGKey(0),
+            jit_init(model, jax.random.PRNGKey(0),
                        {"img": jnp.ones((1, 2, 28, 28, 3))})
