@@ -28,7 +28,15 @@ def ray_angular_error_deg(pred_rays: jnp.ndarray, gt_rays: jnp.ndarray) -> jnp.n
 def run_calibration_benchmark(
     model, params, loader, geom_cfg, output_json: Optional[str] = None
 ) -> Dict[str, float]:
-    fwd = jax.jit(lambda p, vw: model.apply(p, vw, geom_cfg)["ray_directions"])
+    # Same adapter seam as dense_n_view: host-side external models
+    # (jit_compatible=False, e.g. AnyCalibAdapter) run outside jit.
+    if getattr(model, "jit_compatible", True):
+        fwd = jax.jit(
+            lambda p, vw: model.apply(p, vw, geom_cfg)["ray_directions"]
+        )
+    else:
+        def fwd(p, vw):
+            return model.apply(p, vw, geom_cfg)["ray_directions"]
     errors: List[float] = []
     loader.set_epoch(0)
     for batch in loader:

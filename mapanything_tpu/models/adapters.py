@@ -21,6 +21,13 @@ the factored keys:
 drives, so a new model needs ZERO benchmark-code changes
 (tests/test_adapters.py runs ModularDUSt3R through the dense N-view
 benchmark unmodified).
+
+All 9 reference wrapper families are covered: ModularDUSt3R + MapAnything
+(on-device), VGGT / Pi3 / MoGe (vendored torch, host-side), and the
+pip-backed pipelines DUSt3R(+global aligner), MASt3R(+sparse GA), MUSt3R,
+Pow3R (gated geometric priors), AnyCalib (calibration benchmark) — the
+latter five as import-gated `from_pip` builders whose conversion seams are
+GT-validated with interface fakes.
 """
 
 from __future__ import annotations
@@ -424,3 +431,519 @@ class MoGeAdapter:
             "non_ambiguous_mask": mask,
             "non_ambiguous_mask_logits": jnp.where(mask, 10.0, -10.0),
         }
+
+
+def _denormalize_images(views: Dict[str, Any], data_norm_type: str):
+    """(B,V,H,W,3) framework-normalized images -> numpy [0,1]."""
+    import numpy as np
+
+    from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+    imgs = np.asarray(views["img"], np.float32)
+    mean, std = IMAGE_NORMALIZATION_DICT[data_norm_type]
+    return np.clip(imgs * std.astype(np.float32) + mean.astype(np.float32),
+                   0.0, 1.0)
+
+
+def _factored_from_posed_depth(K, cam_quats, cam_trans, depth_z,
+                               conf=None, mask=None):
+    """(K, cam2world, z-depth) per view -> the factored prediction keys.
+
+    The conversion block every DUSt3R-lineage reference wrapper repeats
+    (models/external/dust3r/__init__.py:170-218, mast3r/__init__.py:146-193):
+    camera pointmaps from z-depth + K, depth-along-ray, unit rays, world
+    pointmaps via the factored recombination — here once, in jnp, on device.
+
+    Args:
+        K: (B, V, 3, 3) pinhole intrinsics.
+        cam_quats/cam_trans: (B, V, 4) xyzw / (B, V, 3) cam2world.
+        depth_z: (B, V, H, W).
+        conf, mask: optional (B, V, H, W).
+    """
+    from ..geometry import (
+        convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap,
+        convert_z_depth_to_depth_along_ray,
+        depthmap_to_camera_frame,
+        get_rays_in_camera_frame,
+    )
+
+    b, v, h, w = depth_z.shape
+    pts3d_cam, _ = depthmap_to_camera_frame(depth_z, K)
+    depth_along_ray = convert_z_depth_to_depth_along_ray(depth_z, K)[..., None]
+    _, rays = get_rays_in_camera_frame(K, h, w, normalize_to_unit_sphere=True)
+    pts3d = convert_ray_dirs_depth_along_ray_pose_trans_quats_to_pointmap(
+        rays, depth_along_ray, cam_trans, cam_quats
+    )
+    if conf is None:
+        conf = jnp.ones((b, v, h, w), jnp.float32)
+    if mask is None:
+        mask = jnp.ones((b, v, h, w), bool)
+    return {
+        "pts3d": pts3d,
+        "pts3d_cam": pts3d_cam,
+        "ray_directions": rays,
+        "depth_along_ray": depth_along_ray,
+        "cam_quats": cam_quats,
+        "cam_trans": cam_trans,
+        "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+        "conf": conf,
+        "non_ambiguous_mask": mask,
+        "non_ambiguous_mask_logits": jnp.where(mask, 10.0, -10.0),
+    }
+
+
+class PosedDepthAdapter:
+    """Host scene pipeline emitting (K, cam2world, z-depth) -> the contract.
+
+    DUSt3R's pairwise-inference + global aligner and MASt3R's sparse global
+    alignment both end in exactly this per-view triple (reference
+    models/external/dust3r/__init__.py:166-169 `scene.get_intrinsics() /
+    get_im_poses() / get_depthmaps()`, mast3r/__init__.py:141-144); all the
+    factored-key math after it is shared. This adapter owns that shared
+    conversion; `scene_fn` is the model-specific host pipeline.
+
+    Args:
+        scene_fn: callable `(imgs01: np.ndarray (B, V, H, W, 3) in [0, 1])
+            -> (K (B, V, 3, 3), c2w (B, V, 4, 4), depth_z (B, V, H, W))`
+            numpy arrays. The pip-backed builders (`DUSt3RAdapter.from_pip`,
+            `MASt3RAdapter.from_pip`) construct it around the external
+            packages; tests inject geometry-consistent fakes.
+        data_norm_type: the framework normalization baked into `views["img"]`
+            (undone before calling `scene_fn` — the external pipelines apply
+            their own "dust3r" normalization internally).
+    """
+
+    jit_compatible = False  # host-side external pipeline
+
+    def __init__(self, scene_fn, data_norm_type: str = "dinov2"):
+        self.scene_fn = scene_fn
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        from ..geometry import rotation_matrix_to_quaternion as rot2quat
+
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        K, c2w, depth_z = self.scene_fn(imgs01)
+        K = jnp.asarray(K, jnp.float32)
+        c2w = jnp.asarray(c2w, jnp.float32)
+        depth_z = jnp.asarray(depth_z, jnp.float32)
+        cam_quats = rot2quat(c2w[..., :3, :3])
+        cam_trans = c2w[..., :3, 3]
+        return _factored_from_posed_depth(K, cam_quats, cam_trans, depth_z)
+
+
+class DUSt3RAdapter(PosedDepthAdapter):
+    """DUSt3R + global aligner (pip `dust3r`) -> the factored contract.
+
+    Mirrors the reference DUSt3RBAWrapper (models/external/dust3r/
+    __init__.py:69-222): pairwise inference over a scene graph, PointCloud
+    global alignment, then (K, poses, depths) out. The `dust3r` package is
+    not bundled — `from_pip` import-gates it; the conversion seam itself is
+    covered by tests with a geometry-consistent fake `scene_fn`.
+    """
+
+    @classmethod
+    def from_pip(cls, ckpt_path: str, scene_graph: str = "complete",
+                 inference_batch_size: int = 32, niter: int = 300,
+                 lr: float = 0.01, schedule: str = "cosine",
+                 device: str = "cpu", **kw):
+        import numpy as np
+        import torch
+        from dust3r.cloud_opt import GlobalAlignerMode, global_aligner
+        from dust3r.image_pairs import make_pairs
+        from dust3r.inference import inference
+        from dust3r.model import AsymmetricCroCo3DStereo  # noqa: F401
+
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        ckpt = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+        net = AsymmetricCroCo3DStereo.from_pretrained(ckpt_path) \
+            if not isinstance(ckpt, dict) or "model" not in ckpt else None
+        if net is None:
+            net = eval(  # noqa: S307  (the reference loads args the same way)
+                ckpt["args"].model.replace("ManyAR_PatchEmbed",
+                                           "PatchEmbedDust3R")
+            )
+            net.load_state_dict(ckpt["model"], strict=False)
+        net = net.to(device)
+        mean, std = IMAGE_NORMALIZATION_DICT["dust3r"]
+
+        def scene_fn(imgs01):
+            b, v, h, w, _ = imgs01.shape
+            assert b == 1, "global alignment runs one scene at a time"
+            normed = (imgs01[0] - mean) / std
+            images = [
+                {"img": torch.from_numpy(
+                    np.ascontiguousarray(normed[i].transpose(2, 0, 1))
+                 )[None].float(), "idx": i, "instance": str(i)}
+                for i in range(v)
+            ]
+            pairs = make_pairs(images, scene_graph=scene_graph,
+                               prefilter=None, symmetrize=True)
+            out = inference(pairs, net, device,
+                            batch_size=inference_batch_size, verbose=False)
+            with torch.enable_grad():
+                scene = global_aligner(
+                    out, device=device,
+                    mode=GlobalAlignerMode.PointCloudOptimizer, verbose=False)
+                scene.compute_global_alignment(init="mst", niter=niter,
+                                               schedule=schedule, lr=lr)
+            K = scene.get_intrinsics().detach().cpu().numpy()[None]
+            c2w = scene.get_im_poses().detach().cpu().numpy()[None]
+            depths = torch.stack(
+                [d.reshape(h, w) for d in scene.get_depthmaps()]
+            ).detach().cpu().numpy()[None]
+            return K, c2w, depths
+
+        return cls(scene_fn, **kw)
+
+
+class MASt3RAdapter(PosedDepthAdapter):
+    """MASt3R + sparse global alignment (pip `mast3r`) -> the contract.
+
+    Mirrors the reference MASt3RSGAWrapper (models/external/mast3r/
+    __init__.py:28-196): matching-based sparse GA over pairs, then
+    (scene.intrinsics, get_im_poses, get_dense_pts3d depths) out.
+    """
+
+    @classmethod
+    def from_pip(cls, ckpt_path: str, cache_dir: str,
+                 scene_graph: str = "complete", lr1: float = 0.07,
+                 niter1: int = 300, lr2: float = 0.01, niter2: int = 300,
+                 optim_level: str = "refine+depth",
+                 shared_intrinsics: bool = False,
+                 matching_conf_thr: float = 5.0, device: str = "cpu", **kw):
+        import numpy as np
+        import torch
+        from dust3r.image_pairs import make_pairs
+        from mast3r.cloud_opt.sparse_ga import sparse_global_alignment
+        from mast3r.model import load_model
+
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        net = load_model(ckpt_path, device=device)
+        mean, std = IMAGE_NORMALIZATION_DICT["dust3r"]
+
+        def scene_fn(imgs01):
+            b, v, h, w, _ = imgs01.shape
+            assert b == 1, "sparse GA runs one scene at a time"
+            normed = (imgs01[0] - mean) / std
+            images, paths = [], []
+            for i in range(v):
+                images.append({
+                    "img": torch.from_numpy(np.ascontiguousarray(
+                        normed[i].transpose(2, 0, 1)))[None].float(),
+                    "idx": i, "instance": str(i),
+                    "true_shape": np.int32([[h, w]]),
+                })
+                paths.append(f"scene/view_{i}")
+            pairs = make_pairs(images, scene_graph=scene_graph,
+                               prefilter=None, symmetrize=True)
+            with torch.enable_grad():
+                scene = sparse_global_alignment(
+                    paths, pairs, cache_dir, net, lr1=lr1, niter1=niter1,
+                    lr2=lr2, niter2=niter2, device=device,
+                    opt_depth="depth" in optim_level,
+                    shared_intrinsics=shared_intrinsics,
+                    matching_conf_thr=matching_conf_thr, verbose=False)
+            K = scene.intrinsics.detach().cpu().numpy()[None]
+            c2w = scene.get_im_poses().detach().cpu().numpy()[None]
+            _, depths, _ = scene.get_dense_pts3d()
+            dz = torch.stack([d.reshape(h, w) for d in depths])
+            return K, c2w, dz.detach().cpu().numpy()[None]
+
+        return cls(scene_fn, **kw)
+
+
+class MUSt3RAdapter:
+    """MUSt3R multi-view streaming model (pip `must3r`) -> the contract.
+
+    The reference MUSt3RWrapper (models/external/must3r/__init__.py:163-288)
+    runs keyframed streaming inference and gets per-view {pts3d, pts3d_local,
+    conf, c2w}; depth-along-ray is the local pointmap norm and rays its
+    direction (:264-270). `scene_fn` returns exactly that per-view list;
+    `from_pip` builds it around `must3r`.
+
+    Args:
+        scene_fn: `(imgs01 (B, V, H, W, 3)) -> list[V] of dicts` with numpy
+            "pts3d" (B, H, W, 3), "pts3d_local" (B, H, W, 3),
+            "conf" (B, H, W), "c2w" (B, 4, 4).
+    """
+
+    jit_compatible = False
+
+    def __init__(self, scene_fn, data_norm_type: str = "dinov2"):
+        self.scene_fn = scene_fn
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}
+
+    @classmethod
+    def from_pip(cls, ckpt_path: str, retrieval_ckpt_path: str = None,
+                 img_size: int = 512, max_bs: int = 1, device: str = "cpu",
+                 **kw):
+        import numpy as np
+        import torch
+        from must3r.demo.inference import inference_multi_ar  # noqa: F401
+        from must3r.model import load_model
+
+        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
+
+        net = load_model(ckpt_path, img_size=img_size)
+        encoder, decoder = net if isinstance(net, tuple) else (net, None)
+        mean, std = IMAGE_NORMALIZATION_DICT["dust3r"]
+        del max_bs, retrieval_ckpt_path, device  # mirrored wrapper knobs
+
+        def scene_fn(imgs01):
+            b, v, h, w, _ = imgs01.shape
+            assert b == 1, "streaming inference runs one scene at a time"
+            normed = (imgs01[0] - mean) / std
+            imgs = [torch.from_numpy(np.ascontiguousarray(
+                normed[i].transpose(2, 0, 1)))[None].float()
+                for i in range(v)]
+            true_shape = [torch.tensor([[h, w]]) for _ in range(v)]
+            img_ids = [torch.tensor(i) for i in range(v)]
+            x0, x_out = inference_multi_ar(
+                encoder, decoder, imgs, img_ids, true_shape,
+                mem_batches=[v], verbose=False)
+            x_out = x0 or x_out
+            return [{
+                "pts3d": o["pts3d"].cpu().numpy()[None].reshape(1, h, w, 3),
+                "pts3d_local": o["pts3d_local"].cpu().numpy()[None].reshape(
+                    1, h, w, 3),
+                "conf": o["conf"].cpu().numpy().reshape(1, h, w),
+                "c2w": o["c2w"].cpu().numpy()[None],
+            } for o in x_out]
+
+        return cls(scene_fn, **kw)
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        import numpy as np
+
+        from ..geometry import rotation_matrix_to_quaternion as rot2quat
+
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
+        per_view = self.scene_fn(imgs01)
+        assert len(per_view) == v
+
+        pts3d = jnp.asarray(np.stack([o["pts3d"] for o in per_view], 1))
+        pts_cam = jnp.asarray(np.stack([o["pts3d_local"] for o in per_view], 1))
+        conf = jnp.asarray(np.stack([o["conf"] for o in per_view], 1))
+        c2w = jnp.asarray(np.stack([o["c2w"] for o in per_view], 1))
+
+        rays, depth_along_ray = _rays_depth_from_cam_points(pts_cam)
+        ones_mask = jnp.ones((b, v, h, w), bool)
+        return {
+            "pts3d": pts3d,
+            "pts3d_cam": pts_cam,
+            "ray_directions": rays,
+            "depth_along_ray": depth_along_ray,
+            "cam_quats": rot2quat(c2w[..., :3, :3]),
+            "cam_trans": c2w[..., :3, 3],
+            "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+            "conf": conf,
+            "non_ambiguous_mask": ones_mask,
+            "non_ambiguous_mask_logits": jnp.full((b, v, h, w), 10.0),
+        }
+
+
+class Pow3RAdapter:
+    """Pow3R 2-view model with optional geometric priors -> the contract.
+
+    Mirrors the reference Pow3RWrapper (models/external/pow3r/
+    __init__.py:426-578): priors (intrinsics / z-depth / relative pose) are
+    fed to the network with the task probabilities from a
+    GeometricInputConfig, view 1 is the world frame, and view 2's pose AND
+    scale come from confidence-weighted Umeyama between its camera-frame
+    pointmap and its prediction in view 1's frame (:545-560) — here via the
+    on-device `rigid_points_registration(with_scale=True)`.
+
+    Args:
+        pair_fn: host callable `(view1, view2) -> (pred1, pred2)`; each
+            view dict carries numpy "img" (B, H, W, 3) in [0, 1] plus the
+            priors the gate admitted ("camera_intrinsics" (B, 3, 3),
+            "depthmap" (B, H, W, 1), "camera_pose" (B, 4, 4) cam2world);
+            pred1 has "pts3d" (B, H, W, 3) + "conf" (B, H, W), pred2 has
+            "pts3d_in_other_view", "pts3d2", "conf", "conf2" — the pip
+            `pow3r` network's native output names.
+        geom_cfg: GeometricInputConfig; prior gates are sampled against its
+            probabilities per call (reference :484-508), with a seeded
+            numpy generator so runs are reproducible.
+    """
+
+    jit_compatible = False
+
+    def __init__(self, pair_fn, data_norm_type: str = "dinov2",
+                 geom_cfg=None, seed: int = 0):
+        import numpy as np
+
+        from .mapanything import GeometricInputConfig
+
+        self.pair_fn = pair_fn
+        self.data_norm_type = data_norm_type
+        self.geom_cfg = geom_cfg or GeometricInputConfig()
+        self._rng = np.random.default_rng(seed)
+
+    def init(self, *a, **kw):
+        return {}
+
+    def _gated_priors(self, views, view_idx):
+        """Assemble the reference's prior dict for one view, gate-sampled."""
+        import numpy as np
+
+        g, out = self.geom_cfg, {}
+        if self._rng.random() >= g.overall_prob:
+            return out
+        if self._rng.random() < g.ray_dirs_prob and \
+                "ray_directions_cam" in views:
+            from ..geometry import (
+                recover_pinhole_intrinsics_from_ray_directions,
+            )
+            rays = jnp.asarray(views["ray_directions_cam"])[:, view_idx]
+            out["camera_intrinsics"] = np.asarray(
+                recover_pinhole_intrinsics_from_ray_directions(rays)
+            )
+        if self._rng.random() < g.depth_prob and "depth_along_ray" in views:
+            dar = np.asarray(views["depth_along_ray"])[:, view_idx]
+            rays_z = np.asarray(views["ray_directions_cam"])[:, view_idx,
+                                                             ..., 2:3]
+            out["depthmap"] = dar * rays_z  # z-depth (B, H, W, 1)
+        if self._rng.random() < g.cam_prob and "camera_pose_quats" in views:
+            from ..geometry import pose_quats_trans_to_matrix
+            q = jnp.asarray(views["camera_pose_quats"])[:, view_idx]
+            t = jnp.asarray(views["camera_pose_trans"])[:, view_idx]
+            out["camera_pose"] = np.asarray(pose_quats_trans_to_matrix(q, t))
+        return out
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, memory_efficient
+        import numpy as np
+
+        if geom_cfg is not None:
+            self.geom_cfg = geom_cfg
+        from ..geometry import rotation_matrix_to_quaternion as rot2quat
+
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
+        assert v == 2, "Pow3R is a 2-view model"
+
+        view1 = {"img": imgs01[:, 0], **self._gated_priors(views, 0)}
+        view2 = {"img": imgs01[:, 1], **self._gated_priors(views, 1)}
+        pred1, pred2 = self.pair_fn(view1, view2)
+
+        pts1 = jnp.asarray(np.asarray(pred1["pts3d"], np.float32))
+        conf1 = jnp.asarray(np.asarray(pred1["conf"], np.float32))
+        pts2_in1 = jnp.asarray(np.asarray(pred2["pts3d_in_other_view"],
+                                          np.float32))
+        pts2_cam = jnp.asarray(np.asarray(pred2["pts3d2"], np.float32))
+        conf2 = jnp.sqrt(
+            jnp.asarray(np.asarray(pred2["conf"], np.float32))
+            * jnp.asarray(np.asarray(pred2["conf2"], np.float32))
+        )
+
+        # view 2 pose + scale: Umeyama from its own-frame points onto its
+        # view1-frame prediction (reference pow3r/__init__.py:545-552)
+        r, t, s = rigid_points_registration(
+            pts2_cam.reshape(b, h * w, 3), pts2_in1.reshape(b, h * w, 3),
+            weights=conf2.reshape(b, h * w), with_scale=True,
+        )
+        pts2_cam = s[:, None, None, None] * pts2_cam
+        pts2_world = (
+            pts2_cam.reshape(b, h * w, 3) @ jnp.swapaxes(r, -1, -2)
+            + t[:, None, :]
+        ).reshape(b, h, w, 3)
+
+        identity_q = jnp.broadcast_to(
+            jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (b, 4))
+        cam_quats = jnp.stack([identity_q, rot2quat(r)], axis=1)
+        cam_trans = jnp.stack([jnp.zeros((b, 3), jnp.float32), t], axis=1)
+
+        pts_cam = jnp.stack([pts1, pts2_cam], axis=1)
+        pts3d = jnp.stack([pts1, pts2_world], axis=1)
+        conf = jnp.stack([conf1, conf2], axis=1)
+        rays, depth_along_ray = _rays_depth_from_cam_points(pts_cam)
+
+        ones_mask = jnp.ones((b, v, h, w), bool)
+        return {
+            "pts3d": pts3d,
+            "pts3d_cam": pts_cam,
+            "ray_directions": rays,
+            "depth_along_ray": depth_along_ray,
+            "cam_quats": cam_quats,
+            "cam_trans": cam_trans,
+            "metric_scaling_factor": jnp.ones((b,), jnp.float32),
+            "conf": conf,
+            "non_ambiguous_mask": ones_mask,
+            "non_ambiguous_mask_logits": jnp.full((b, v, h, w), 10.0),
+        }
+
+
+class AnyCalibAdapter:
+    """AnyCalib single-view calibration (pip `anycalib`) -> rays + K.
+
+    Mirrors the reference AnyCalibWrapper (models/external/anycalib/
+    __init__.py:16-100): predict pinhole (fx, fy, cx, cy) for view 0, emit
+    unit-sphere ray directions + the 3x3 K. Speaks the calibration
+    benchmark's surface (`apply(...)["ray_directions"]`) with
+    `jit_compatible = False`, so `run_calibration_benchmark` drives it
+    unchanged.
+
+    Args:
+        calib_fn: host callable `(imgs01 (B, H, W, 3) in [0, 1]) ->
+            (B, 4) numpy [fx, fy, cx, cy]`.
+    """
+
+    jit_compatible = False
+
+    def __init__(self, calib_fn, data_norm_type: str = "dinov2"):
+        self.calib_fn = calib_fn
+        self.data_norm_type = data_norm_type
+
+    def init(self, *a, **kw):
+        return {}
+
+    @classmethod
+    def from_pip(cls, model_id: str = "anycalib_pinhole", **kw):
+        import numpy as np
+        import torch
+        from anycalib import AnyCalib
+
+        net = AnyCalib(model_id=model_id)
+
+        def calib_fn(imgs01):
+            t_imgs = torch.from_numpy(
+                np.ascontiguousarray(imgs01.transpose(0, 3, 1, 2)))
+            out = net.predict(t_imgs, cam_id="pinhole")
+            return np.stack([np.asarray(i, np.float32)
+                             for i in out["intrinsics"]])
+
+        return cls(calib_fn, **kw)
+
+    def apply(self, params, views: Dict[str, Any], geom_cfg=None,
+              memory_efficient: bool = False) -> Dict[str, jnp.ndarray]:
+        del params, geom_cfg, memory_efficient
+        from ..geometry import get_rays_in_camera_frame
+
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
+        fxyc = jnp.asarray(self.calib_fn(imgs01[:, 0]), jnp.float32)  # (B,4)
+        K = jnp.zeros((b, 3, 3), jnp.float32)
+        K = K.at[:, 0, 0].set(fxyc[:, 0]).at[:, 1, 1].set(fxyc[:, 1])
+        K = K.at[:, 0, 2].set(fxyc[:, 2]).at[:, 1, 2].set(fxyc[:, 3])
+        K = K.at[:, 2, 2].set(1.0)
+        _, rays = get_rays_in_camera_frame(K, h, w,
+                                           normalize_to_unit_sphere=True)
+        # (B, 1, H, W, 3): view axis kept so the calibration benchmark's
+        # [:, :1] slice is a no-op for this single-view model.
+        return {"ray_directions": rays[:, None],
+                "intrinsics": K[:, None]}

@@ -694,3 +694,271 @@ class TestMoGeAdapter:
         metrics = evaluate_mvs_depth(rmvd, _rmvd_samples_from_batch(batch))
         assert metrics["num_samples"] == 1
         assert np.isfinite(metrics["depth_abs_rel"])
+
+
+def _gt_scene_arrays(batch):
+    """GT (K, c2w, depth_z) numpy triple from a synthetic batch."""
+    from mapanything_tpu.geometry import pose_quats_trans_to_matrix
+
+    gt = batch["gt"]
+    depth_z = np.asarray(gt["pts3d_cam"])[..., 2]
+    b, v, h, w = depth_z.shape
+    f = 0.8 * max(h, w)  # data/synthetic.py intrinsics
+    K = np.zeros((b, v, 3, 3), np.float32)
+    K[..., 0, 0] = f
+    K[..., 1, 1] = f
+    K[..., 0, 2] = w / 2
+    K[..., 1, 2] = h / 2
+    K[..., 2, 2] = 1
+    c2w = np.asarray(pose_quats_trans_to_matrix(
+        jnp.asarray(gt["camera_pose_quats"]),
+        jnp.asarray(gt["camera_pose_trans"]),
+    ))
+    return K, c2w, depth_z
+
+
+class TestPosedDepthAdapters:
+    """DUSt3R-global-aligner / MASt3R-sparse-GA seam: both end in a
+    (K, cam2world, z-depth) scene triple (reference dust3r/__init__.py:
+    166-169, mast3r/__init__.py:141-144); the adapter owns the shared
+    factored-key conversion. A geometry-consistent fake `scene_fn` stands
+    in for the pip pipelines (absent from this env), so the conversion is
+    validated against synthetic GT exactly."""
+
+    def test_conversion_matches_gt(self):
+        from mapanything_tpu.models.adapters import (
+            FACTORED_PRED_KEYS,
+            DUSt3RAdapter,
+        )
+
+        batch = make_synthetic_batch(1, 3, 28, 42, seed=7)
+        K, c2w, depth_z = _gt_scene_arrays(batch)
+
+        calls = {}
+
+        def fake_scene_fn(imgs01):
+            calls["shape"] = imgs01.shape
+            assert imgs01.min() >= 0.0 and imgs01.max() <= 1.0
+            return K, c2w, depth_z
+
+        adapter = DUSt3RAdapter(fake_scene_fn)
+        preds = adapter.apply({}, batch["views"])
+        assert calls["shape"] == (1, 3, 28, 42, 3)
+        for k in FACTORED_PRED_KEYS:
+            assert k in preds, k
+        # the factored conversion must reproduce the GT scene exactly
+        np.testing.assert_allclose(
+            np.asarray(preds["pts3d"]), np.asarray(batch["gt"]["pts3d"]),
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(preds["pts3d_cam"]),
+            np.asarray(batch["gt"]["pts3d_cam"]), rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(preds["cam_trans"]),
+            np.asarray(batch["gt"]["camera_pose_trans"]), atol=1e-4,
+        )
+
+    def test_through_dense_n_view_benchmark(self, tmp_path):
+        from mapanything_tpu.benchmarks.dense_n_view import (
+            run_dense_n_view_benchmark,
+        )
+        from mapanything_tpu.models.adapters import MASt3RAdapter
+
+        batch = make_synthetic_batch(1, 2, 28, 42, seed=8)
+        K, c2w, depth_z = _gt_scene_arrays(batch)
+        adapter = MASt3RAdapter(lambda imgs01: (K, c2w, depth_z))
+        out = run_dense_n_view_benchmark(
+            adapter, {}, _OneBatchLoader(batch), None,
+            output_json=str(tmp_path / "mast3r.json"),
+        )
+        # GT-consistent fake -> near-zero benchmark error proves the
+        # adapter-side math, not the (absent) external network
+        assert out["pointmaps_abs_rel"] < 1e-2
+
+
+class TestMUSt3RAdapter:
+    """MUSt3R streaming-wrapper seam (reference must3r/__init__.py:250-288):
+    per-view {pts3d, pts3d_local, conf, c2w} -> the factored contract."""
+
+    def test_conversion_and_benchmark(self, tmp_path):
+        from mapanything_tpu.benchmarks.dense_n_view import (
+            run_dense_n_view_benchmark,
+        )
+        from mapanything_tpu.models.adapters import (
+            FACTORED_PRED_KEYS,
+            MUSt3RAdapter,
+        )
+
+        batch = make_synthetic_batch(1, 3, 28, 42, seed=9)
+        gt = batch["gt"]
+
+        def fake_scene_fn(imgs01):
+            b, v, h, w, _ = imgs01.shape
+            from mapanything_tpu.geometry import pose_quats_trans_to_matrix
+            c2w = np.asarray(pose_quats_trans_to_matrix(
+                jnp.asarray(gt["camera_pose_quats"]),
+                jnp.asarray(gt["camera_pose_trans"])))
+            return [{
+                "pts3d": np.asarray(gt["pts3d"])[:, i],
+                "pts3d_local": np.asarray(gt["pts3d_cam"])[:, i],
+                "conf": np.ones((b, h, w), np.float32),
+                "c2w": c2w[:, i],
+            } for i in range(v)]
+
+        adapter = MUSt3RAdapter(fake_scene_fn)
+        preds = adapter.apply({}, batch["views"])
+        for k in FACTORED_PRED_KEYS:
+            assert k in preds, k
+        np.testing.assert_allclose(
+            np.asarray(preds["depth_along_ray"]),
+            np.asarray(gt["depth_along_ray"]), rtol=1e-4, atol=1e-5,
+        )
+        out = run_dense_n_view_benchmark(
+            adapter, {}, _OneBatchLoader(batch), None,
+            output_json=str(tmp_path / "must3r.json"),
+        )
+        assert out["pointmaps_abs_rel"] < 1e-2
+
+
+class TestPow3RAdapter:
+    """Pow3R prior-conditioned 2-view seam (reference pow3r/__init__.py:
+    426-578): gated priors in, Umeyama pose+scale recovery out."""
+
+    def _make(self, seed=10, scale=0.5):
+        from mapanything_tpu.geometry import (
+            closed_form_pose_inverse,
+            pose_quats_trans_to_matrix,
+        )
+
+        batch = make_synthetic_batch(1, 2, 28, 42, seed=seed)
+        gt = batch["gt"]
+        c2w = np.asarray(pose_quats_trans_to_matrix(
+            jnp.asarray(gt["camera_pose_quats"]),
+            jnp.asarray(gt["camera_pose_trans"])))
+        w2c0 = np.asarray(closed_form_pose_inverse(jnp.asarray(c2w[:, 0])))
+        pts_w = np.asarray(gt["pts3d"])
+
+        def to_v0(p):  # world -> view-0 frame (Pow3R's world frame)
+            return np.einsum("bij,bhwj->bhwi", w2c0[:, :3, :3], p) \
+                + w2c0[:, None, None, :3, 3]
+
+        seen = {}
+
+        def fake_pair_fn(view1, view2):
+            seen["v1"] = set(view1)
+            seen["v2"] = set(view2)
+            if "camera_intrinsics" in view1:
+                seen["K"] = view1["camera_intrinsics"]
+            if "depthmap" in view1:
+                seen["depth"] = view1["depthmap"]
+            b, h, w, _ = view1["img"].shape
+            pred1 = {"pts3d": to_v0(pts_w[:, 0]),
+                     "conf": np.ones((b, h, w), np.float32)}
+            # the net predicts view2's own-frame points at a WRONG scale;
+            # the adapter's Umeyama must recover and undo it
+            pred2 = {"pts3d_in_other_view": to_v0(pts_w[:, 1]),
+                     "pts3d2": scale * np.asarray(gt["pts3d_cam"])[:, 1],
+                     "conf": np.ones((b, h, w), np.float32),
+                     "conf2": np.ones((b, h, w), np.float32)}
+            return pred1, pred2
+
+        return batch, fake_pair_fn, seen, c2w, w2c0
+
+    def test_priors_gated_and_scale_recovered(self):
+        from mapanything_tpu.models import GeometricInputConfig
+        from mapanything_tpu.models.adapters import (
+            FACTORED_PRED_KEYS,
+            Pow3RAdapter,
+        )
+
+        batch, fake_pair_fn, seen, c2w, w2c0 = self._make()
+        adapter = Pow3RAdapter(
+            fake_pair_fn, geom_cfg=GeometricInputConfig(
+                overall_prob=1.0, ray_dirs_prob=1.0, depth_prob=1.0,
+                cam_prob=1.0,
+            ),
+        )
+        preds = adapter.apply({}, batch["views"])
+        for k in FACTORED_PRED_KEYS:
+            assert k in preds, k
+        # all three priors reached the host model (probabilities = 1)
+        assert {"camera_intrinsics", "depthmap", "camera_pose"} <= seen["v1"]
+        f = 0.8 * 42
+        np.testing.assert_allclose(seen["K"][:, 0, 0], f, rtol=5e-2)
+        np.testing.assert_allclose(
+            seen["depth"][..., 0],
+            np.asarray(batch["gt"]["pts3d_cam"])[:, 0, ..., 2],
+            rtol=1e-3, atol=1e-4,
+        )
+        # scale-corrupted own-frame points recovered to the GT scene
+        np.testing.assert_allclose(
+            np.asarray(preds["pts3d"][:, 1]),
+            np.einsum("bij,bhwj->bhwi", w2c0[:, :3, :3],
+                      np.asarray(batch["gt"]["pts3d"])[:, 1])
+            + w2c0[:, None, None, :3, 3],
+            rtol=5e-3, atol=5e-3,
+        )
+        # recovered relative pose == c2w of view1 in view-0 frame
+        rel = np.asarray(w2c0 @ c2w[:, 1])
+        np.testing.assert_allclose(
+            np.asarray(preds["cam_trans"][:, 1]), rel[:, :3, 3], atol=1e-3,
+        )
+
+    def test_priors_off_sends_images_only(self):
+        from mapanything_tpu.models import GeometricInputConfig
+        from mapanything_tpu.models.adapters import Pow3RAdapter
+
+        batch, fake_pair_fn, seen, _, _ = self._make(seed=11)
+        adapter = Pow3RAdapter(
+            fake_pair_fn, geom_cfg=GeometricInputConfig(overall_prob=0.0),
+        )
+        adapter.apply({}, batch["views"])
+        assert seen["v1"] == {"img"} and seen["v2"] == {"img"}
+
+
+class TestAnyCalibAdapter:
+    """AnyCalib monocular-calibration seam (reference anycalib/__init__.py:
+    16-100) through the UNMODIFIED calibration benchmark."""
+
+    def test_rays_and_benchmark(self, tmp_path):
+        from mapanything_tpu.benchmarks.calibration import (
+            run_calibration_benchmark,
+        )
+        from mapanything_tpu.models.adapters import AnyCalibAdapter
+
+        batch = make_synthetic_batch(2, 2, 28, 42, seed=12)
+        f = 0.8 * 42
+
+        def fake_calib_fn(imgs01):
+            b = imgs01.shape[0]
+            return np.tile(np.asarray([f, f, 21.0, 14.0], np.float32),
+                           (b, 1))
+
+        adapter = AnyCalibAdapter(fake_calib_fn)
+        preds = adapter.apply({}, batch["views"])
+        np.testing.assert_allclose(
+            np.asarray(preds["ray_directions"]),
+            np.asarray(batch["gt"]["ray_directions_cam"][:, :1]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+        class OneBatchLoader:
+            def set_epoch(self, e):
+                pass
+
+            def __iter__(self):
+                return iter([{
+                    "views": {k: np.asarray(v)
+                              for k, v in batch["views"].items()},
+                    "gt": {k: np.asarray(v) for k, v in batch["gt"].items()},
+                }])
+
+        summary = run_calibration_benchmark(
+            adapter, {}, OneBatchLoader(), None,
+            output_json=str(tmp_path / "anycalib.json"),
+        )
+        assert summary["num_images"] == 2
+        # GT-exact fake -> ~zero angular error proves the adapter math
+        assert summary["ray_angular_error_deg_mean"] < 1e-2
