@@ -1,0 +1,192 @@
+"""Serving subsystem: request batching + the HTTP surface.
+
+The engine must (1) merge concurrent same-signature scenes into ONE
+batched forward, (2) return each scene the same numbers a solo request
+gets, (3) keep distinct signatures apart, and the HTTP layer must round-
+trip npz scenes end to end (the reference's serving surface is the gradio
+demo, gradio_app.py; this is its TPU-native batching replacement)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapanything_tpu.models import (
+    MapAnything,
+    MapAnythingConfig,
+    images_only_config,
+    jit_init,
+)
+from mapanything_tpu.serve import BatchingEngine, InferenceServer
+from mapanything_tpu.utils.inference import InferencePipeline
+
+TINY = MapAnythingConfig(
+    encoder_size="test",
+    trunk_dim=64,
+    trunk_depth=2,
+    trunk_num_heads=2,
+    trunk_indices=(0, 1),
+    dpt_feature_dim=32,
+    dpt_out_channels=(32, 32, 32, 32),
+    dpt_hidden_dims=(16, 8),
+    dense_head_chunk=2,
+    dtype=jnp.float32,
+)
+H, W = 28, 42
+
+
+def _scene(seed, h=H, w=W):
+    rng = np.random.default_rng(seed)
+    return [
+        {"img": rng.normal(size=(1, h, w, 3)).astype(np.float32) * 0.3,
+         "data_norm_type": ["dinov2"]}
+        for _ in range(2)
+    ]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = MapAnything(cfg=TINY)
+    views = {"img": jnp.zeros((1, 2, H, W, 3), jnp.float32)}
+    params = jit_init(model, jax.random.PRNGKey(0), views,
+                      images_only_config())
+    eng = BatchingEngine(InferencePipeline(model, params), max_batch=4,
+                         max_wait_ms=200.0).start()
+    yield eng
+    eng.stop()
+
+
+class TestBatchingEngine:
+    def test_concurrent_scenes_batch_into_one_call(self, engine):
+        scenes = [_scene(i) for i in range(3)]
+        solo = engine.infer(scenes[0])  # also warms the compile cache
+        calls_before = engine.stats.batched_calls
+
+        futs = [engine.submit(s) for s in scenes]
+        outs = [f.result(timeout=120) for f in futs]
+
+        # 3 concurrent same-signature scenes -> fewer forwards than scenes
+        calls = engine.stats.batched_calls - calls_before
+        assert calls < 3, f"no batching happened ({calls} calls)"
+
+        # batched result == solo result for the same scene (tolerance:
+        # B=1 and B=4 are different XLA programs with different reduction
+        # orders — a few 1e-6-level ulps on near-zero masked values)
+        np.testing.assert_allclose(
+            outs[0][0]["pts3d"], solo[0]["pts3d"], rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            outs[0][1]["depth_z"], solo[1]["depth_z"], rtol=1e-4, atol=1e-5,
+        )
+        # different scenes produce different outputs (no cross-talk)
+        assert not np.allclose(outs[0][0]["pts3d"], outs[1][0]["pts3d"])
+        for out in outs:
+            assert len(out) == 2
+            for ov in out:
+                assert np.isfinite(ov["pts3d"]).all()
+
+    def test_distinct_flags_never_merge(self, engine):
+        f1 = engine.submit(_scene(10), apply_confidence_mask=True)
+        f2 = engine.submit(_scene(11), apply_confidence_mask=False)
+        o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert o1[0]["pts3d"].shape == o2[0]["pts3d"].shape
+        assert engine.stats.errors == 0
+
+    def test_unknown_flag_rejected(self, engine):
+        with pytest.raises(ValueError, match="unknown request flags"):
+            engine.submit(_scene(12), bogus=True)
+
+    def test_error_propagates_without_killing_worker(self, engine):
+        bad = [{"img": np.zeros((1, H, W, 3), np.float32)}]  # missing norm
+        with pytest.raises(ValueError):
+            engine.submit(bad).result(timeout=60)
+        # engine still alive
+        ok = engine.infer(_scene(13))
+        assert np.isfinite(ok[0]["pts3d"]).all()
+
+
+class TestHTTPServer:
+    @pytest.fixture(scope="class")
+    def server(self, engine):
+        # 518-bucket preprocessing would upscale the tiny test images to a
+        # full-size bucket; serve the raw resolution instead by monkeying
+        # the bucket tables is out of scope — the tiny model accepts any
+        # multiple of its patch size, and preprocess picks the 518 bucket,
+        # so use a tiny custom resolution_set entry.
+        from mapanything_tpu.data import image as image_mod
+
+        image_mod.RESOLUTION_MAPPINGS[42] = {1.5: (42, 28)}
+        srv = InferenceServer(engine, host="127.0.0.1", port=0,
+                              resolution_set=42).start(warmup_views=0)
+        yield srv
+        srv.stop()
+        del image_mod.RESOLUTION_MAPPINGS[42]
+
+    def _url(self, server, path):
+        return f"http://{server.host}:{server.port}{path}"
+
+    def test_healthz_and_stats(self, server):
+        with urllib.request.urlopen(self._url(server, "/healthz")) as r:
+            assert json.loads(r.read())["ok"] is True
+        with urllib.request.urlopen(self._url(server, "/v1/stats")) as r:
+            stats = json.loads(r.read())
+        assert "requests" in stats and "batched_calls" in stats
+
+    def test_infer_roundtrip(self, server):
+        rng = np.random.default_rng(0)
+        imgs = rng.uniform(0, 1, size=(2, H, W, 3)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, images=imgs)
+        req = urllib.request.Request(
+            self._url(server, "/v1/infer"), data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "application/x-npz"
+            out = dict(np.load(io.BytesIO(r.read())))
+        assert out["pts3d"].shape == (2, H, W, 3)
+        assert np.isfinite(out["pts3d"]).all()
+        assert out["intrinsics"].shape == (2, 3, 3)
+
+    def test_concurrent_http_requests(self, server):
+        rng = np.random.default_rng(1)
+        results, errors = [], []
+
+        def post(seed):
+            try:
+                imgs = rng.uniform(0, 1, size=(2, H, W, 3)).astype(
+                    np.float32)
+                buf = io.BytesIO()
+                np.savez(buf, images=imgs)
+                req = urllib.request.Request(
+                    self._url(server, "/v1/infer"), data=buf.getvalue(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=300) as r:
+                    results.append(dict(np.load(io.BytesIO(r.read()))))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=post, args=(i,))
+                   for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+        assert not errors, errors
+        assert len(results) == 3
+
+    def test_bad_request_is_400(self, server):
+        req = urllib.request.Request(
+            self._url(server, "/v1/infer"), data=b"not an npz",
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=60)
+        assert ei.value.code == 400
