@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 import torch
 
+from jitu import japply
+
 import jax
 import jax.numpy as jnp
 
@@ -122,7 +124,7 @@ class TestOutputParity:
 
         model, params = _our_model(tree)
         views = {"img": jnp.asarray(x.transpose(0, 1, 3, 4, 2))}
-        ours = model.apply(params, views, images_only_config())
+        ours = japply(model, geom_cfg=images_only_config())(params, views)
         _compare(ref, ours, self.KEYS)
 
     def test_all_priors_parity(self, mirror, converted):
@@ -159,7 +161,7 @@ class TestOutputParity:
         }
         # all priors on, deterministic (infer-time knobs, model.py:1911-1954)
         geom = GeometricInputConfig()
-        ours = model.apply(params, views, geom)
+        ours = japply(model, geom_cfg=geom)(params, views)
         _compare(ref, ours, self.KEYS)
 
 
@@ -230,8 +232,8 @@ class TestFromPretrained:
         # the loaded params drive a forward pass
         x = np.random.default_rng(0).standard_normal(
             (1, 2, 28, 28, 3)).astype(np.float32) * 0.3
-        out = model.apply(params, {"img": jnp.asarray(x)},
-                          images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(
+            params, {"img": jnp.asarray(x)})
         assert np.isfinite(np.asarray(out["pts3d"])).all()
 
     def test_strict_rejects_unknown_keys(self, mirror, tmp_path):
@@ -298,7 +300,7 @@ class TestEncoderFamilyConversion:
         params = {"params": {k: v for k, v in tree.items()
                              if not k.startswith("_")}}
         views = {"img": jnp.asarray(x.transpose(0, 1, 3, 4, 2))}
-        ours = model.apply(params, views, images_only_config())
+        ours = japply(model, geom_cfg=images_only_config())(params, views)
         for k in ("pts3d", "ray_directions", "depth_along_ray", "cam_trans",
                   "cam_quats", "conf"):
             np.testing.assert_allclose(

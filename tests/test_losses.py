@@ -6,6 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from jitu import japply  # noqa: F401  (shared jit cache pattern)
 from mapanything_tpu.data.synthetic import make_synthetic_batch
 from mapanything_tpu.train.losses import (
     OverallLossConfig,
@@ -17,6 +18,26 @@ from mapanything_tpu.train.losses import (
 )
 
 B, V, H, W = 2, 3, 14, 14
+
+
+_SET_ORDER = []  # captured at trace time (jit output dicts are key-sorted)
+
+
+@jax.jit
+def _jitted_factored_values(gt, preds):
+    sets = factored_geometry_scale_regr3d(gt, preds)
+    if not _SET_ORDER:
+        _SET_ORDER.extend(sets.keys())
+    return [{kk: vv for kk, vv in t.items() if kk != "type"}
+            for t in sets.values()]
+
+
+def _jitted_factored_sets(gt, preds):
+    """factored_geometry_scale_regr3d under jit, minus the static "type"
+    strings (not valid jit outputs; the tests here only use loss/mask),
+    with the reference set ORDER preserved."""
+    vals = _jitted_factored_values(gt, preds)
+    return dict(zip(_SET_ORDER, vals))
 
 
 def perfect_preds(gt):
@@ -64,7 +85,7 @@ class TestFactoredLoss:
         batch = make_synthetic_batch(B, V, H, W, seed=3)
         gt = batch["gt"]
         preds = perfect_preds(gt)
-        sets = factored_geometry_scale_regr3d(gt, preds)
+        sets = _jitted_factored_sets(gt, preds)
         order = list(sets.keys())
         assert order == [
             "pts3d", "cam_pts3d", "depth_along_ray", "ray_directions",
@@ -129,7 +150,7 @@ class TestFactoredLoss:
                 "cam_trans": base["cam_trans"] * s,
                 "metric_scaling_factor": jnp.full((1,), s[0]),
             }
-            sets = factored_geometry_scale_regr3d(gt, p)
+            sets = _jitted_factored_sets(gt, p)
             # geometry sets must be invariant to s (divided out)
             geo = sum(
                 jnp.mean(t["loss"])
@@ -223,10 +244,11 @@ class TestNormalGM:
         batch = make_synthetic_batch(1, 2, 16, 16, seed=8)
         gt = batch["gt"]
         pts = gt["pts3d_cam"]
-        total, _ = normal_gm_loss(
+        import functools
+        total, _ = jax.jit(functools.partial(
+            normal_gm_loss, apply_to_synthetic_only=True))(
             pts, pts * 1.5, gt["valid_mask"],
             is_synthetic=jnp.zeros((1,), dtype=bool),  # real data
-            apply_to_synthetic_only=True,
         )
         assert float(total) == 0.0
 

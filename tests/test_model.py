@@ -37,6 +37,18 @@ TINY = MapAnythingConfig(
 B, V, H, W = 1, 2, 28, 42
 
 
+import functools
+
+
+@functools.cache
+def _japply(model, geom_cfg, memory_efficient=False):
+    """One jitted apply per (config, flags): eager flax apply dispatches
+    every op separately (~25 s per tiny forward on this 1-core box); the
+    jitted program compiles once and lands in the persistent cache."""
+    return jax.jit(functools.partial(
+        model.apply, geom_cfg=geom_cfg, memory_efficient=memory_efficient))
+
+
 @pytest.fixture(scope="module")
 def tiny_model_and_params():
     model = MapAnything(cfg=TINY)
@@ -60,7 +72,7 @@ def _full_views():
 class TestForward:
     def test_output_contract(self, tiny_model_and_params):
         model, params = tiny_model_and_params
-        out = model.apply(params, _full_views(), GeometricInputConfig())
+        out = _japply(model, GeometricInputConfig())(params, _full_views())
         assert out["pts3d"].shape == (B, V, H, W, 3)
         assert out["pts3d_cam"].shape == (B, V, H, W, 3)
         assert out["ray_directions"].shape == (B, V, H, W, 3)
@@ -85,10 +97,11 @@ class TestForward:
         """Zeroed prior masks must reproduce the images-only output exactly
         (the fusion is purely additive + masked, model.py:816-823)."""
         model, params = tiny_model_and_params
-        out_imgs = model.apply(
-            params, {"img": _full_views()["img"]}, images_only_config()
+        out_imgs = _japply(model, images_only_config())(
+            params, {"img": _full_views()["img"]}
         )
-        out_masked = model.apply(params, _full_views(), images_only_config())
+        out_masked = _japply(model, images_only_config())(
+            params, _full_views())
         np.testing.assert_allclose(
             np.asarray(out_imgs["pts3d"]), np.asarray(out_masked["pts3d"]),
             atol=1e-5,
@@ -97,10 +110,9 @@ class TestForward:
     def test_memory_efficient_equivalence(self, tiny_model_and_params):
         model, params = tiny_model_and_params
         views = _full_views()
-        a = model.apply(params, views, GeometricInputConfig())
-        bdict = model.apply(
-            params, views, GeometricInputConfig(), memory_efficient=True
-        )
+        a = _japply(model, GeometricInputConfig())(params, views)
+        bdict = _japply(model, GeometricInputConfig(),
+                        memory_efficient=True)(params, views)
         np.testing.assert_allclose(
             np.asarray(a["pts3d"]), np.asarray(bdict["pts3d"]), atol=1e-6
         )
@@ -114,10 +126,9 @@ class TestForward:
         rng = np.random.default_rng(1)
         views = {"img": jnp.asarray(
             rng.normal(size=(B, 3, H, W, 3)).astype(np.float32))}
-        a = model.apply(params, views, images_only_config())
-        b = model.apply(
-            params, views, images_only_config(), memory_efficient=True
-        )
+        a = _japply(model, images_only_config())(params, views)
+        b = _japply(model, images_only_config(),
+                    memory_efficient=True)(params, views)
         np.testing.assert_allclose(
             np.asarray(a["pts3d"]), np.asarray(b["pts3d"]), atol=1e-5
         )
@@ -129,10 +140,9 @@ class TestForward:
 
     def test_stochastic_forward(self, tiny_model_and_params):
         model, params = tiny_model_and_params
-        out = model.apply(
-            params, _full_views(), aug_training_config(),
-            rng=jax.random.PRNGKey(7),
-        )
+        out = jax.jit(functools.partial(
+            model.apply, geom_cfg=aug_training_config()
+        ))(params, _full_views(), rng=jax.random.PRNGKey(7))
         assert bool(jnp.isfinite(out["pts3d"]).all())
 
 

@@ -7,6 +7,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from jitu import japply
+
 from mapanything_tpu.models import (
     GeometricInputConfig,
     jit_init,
@@ -38,7 +40,7 @@ class TestAblations:
         flat = jax.tree_util.tree_flatten_with_path(params)[0]
         names = ["/".join(str(k) for k in kp) for kp, _ in flat]
         assert not any("scale_token" in n or "scale_head" in n for n in names)
-        out = model.apply(params, views, images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(params, views)
         np.testing.assert_array_equal(
             np.asarray(out["metric_scaling_factor"]), 1.0
         )
@@ -53,8 +55,8 @@ class TestAblations:
         from mapanything_tpu.models import images_only_config
 
         p1 = jit_init(base, jax.random.PRNGKey(0), views, images_only_config())
-        o1 = base.apply(p1, views, images_only_config())
-        o2 = roped.apply(p1, views, images_only_config())  # same params
+        o1 = japply(base, geom_cfg=images_only_config())(p1, views)
+        o2 = japply(roped, geom_cfg=images_only_config())(p1, views)  # same params
         assert float(jnp.abs(o1["depth_along_ray"] - o2["depth_along_ray"]).max()) > 1e-6
 
 
@@ -66,7 +68,7 @@ class TestModularDUSt3R:
         model = ModularDUSt3R(cfg=cfg)
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.1}
         params = jit_init(model, jax.random.PRNGKey(0), views)
-        out = model.apply(params, views)
+        out = japply(model)(params, views)
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
         assert out["conf"].shape == (1, 2, 32, 32)
         assert bool(jnp.isfinite(out["pts3d"]).all())
@@ -84,7 +86,7 @@ class TestCrossTrunk:
         feats = jnp.ones((1, 3, 4, 4, 64)) * 0.1
         tok = jnp.ones((1, 1, 64)) * 0.1
         params = jit_init(trunk, jax.random.PRNGKey(0), feats, tok)
-        final, inters, tok_out = trunk.apply(params, feats, tok)
+        final, inters, tok_out = japply(trunk)(params, feats, tok)
         assert final.shape == (1, 3, 4, 4, 64)
         assert len(inters) == 1
         assert tok_out.shape == (1, 1, 64)
@@ -109,7 +111,7 @@ class TestCrocoEncoderModel:
 
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.2}
         params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
-        out = model.apply(params, views, images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(params, views)
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
 
     def test_radio_encoder_variant(self):
@@ -125,7 +127,7 @@ class TestCrocoEncoderModel:
 
         views = {"img": jnp.ones((1, 2, 32, 32, 3)) * 0.5}
         params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
-        out = model.apply(params, views, images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(params, views)
         assert out["pts3d"].shape == (1, 2, 32, 32, 3)
 
     def test_unknown_encoder_rejected(self):
@@ -147,7 +149,7 @@ class TestSceneRepVariants:
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.ones((B, V, H, W, 3)) * 0.2}
         params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
-        out = model.apply(params, views, images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(params, views)
         assert out["pts3d"].shape == (B, V, H, W, 3)
         # factored consistency holds for derived dirs/depth
         np.testing.assert_allclose(
@@ -181,8 +183,8 @@ class TestTrunkOptions:
                                            use_entropy_scaling=True,
                                            dtype=jnp.float32)
         params = jit_init(base, jax.random.PRNGKey(0), feats, tok)
-        o1 = base.apply(params, feats, tok)[0]
-        o2 = scaled.apply(params, feats, tok)[0]
+        o1 = japply(base)(params, feats, tok)[0]
+        o2 = japply(scaled)(params, feats, tok)[0]
         # 4 views x 16 patches > 16-patch base -> global layers get scaled
         assert float(jnp.abs(o1 - o2).max()) > 1e-6
 
@@ -196,15 +198,15 @@ class TestTrunkOptions:
         geom = aug_training_config()
         params = jit_init(model, jax.random.PRNGKey(0), views, geom,
                             rng=jax.random.PRNGKey(1))
-        o1 = model.apply(params, views, geom, rng=jax.random.PRNGKey(2))
-        o2 = model.apply(params, views, geom, rng=jax.random.PRNGKey(3))
+        o1 = japply(model, geom_cfg=geom)(params, views, rng=jax.random.PRNGKey(2))
+        o2 = japply(model, geom_cfg=geom)(params, views, rng=jax.random.PRNGKey(3))
         # different rng -> different view indices (among other dropout) ->
         # different outputs; deterministic at inference (no rng)
         assert float(jnp.abs(o1["pts3d"] - o2["pts3d"]).max()) > 0
         from mapanything_tpu.models import images_only_config
 
-        i1 = model.apply(params, views, images_only_config())
-        i2 = model.apply(params, views, images_only_config())
+        i1 = japply(model, geom_cfg=images_only_config())(params, views)
+        i2 = japply(model, geom_cfg=images_only_config())(params, views)
         np.testing.assert_array_equal(np.asarray(i1["pts3d"]),
                                       np.asarray(i2["pts3d"]))
 
@@ -266,7 +268,7 @@ class TestCrossTrunkVectorization:
         feats = jnp.asarray(rng.normal(size=(b, v, g, g, c)), jnp.float32)
         tok = jnp.asarray(rng.normal(size=(b, 1, c)), jnp.float32)
         params = jit_init(trunk, jax.random.PRNGKey(0), feats, tok)
-        final, _, _ = trunk.apply(params, feats, tok)
+        final, _, _ = japply(trunk)(params, feats, tok)
 
         # expected: per-view python loop with explicitly gathered contexts,
         # using the SAME weights
@@ -321,7 +323,7 @@ class TestSceneRepFamilies:
         model = MapAnything(cfg=cfg)
         views = {"img": jnp.ones((1, 2, 28, 28, 3)) * 0.1}
         params = jit_init(model, jax.random.PRNGKey(0), views, images_only_config())
-        out = model.apply(params, views, images_only_config())
+        out = japply(model, geom_cfg=images_only_config())(params, views)
         for k in expect:
             assert k in out, k
             assert np.isfinite(np.asarray(out[k], dtype=np.float32)).all(), k
