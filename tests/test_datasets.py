@@ -443,3 +443,55 @@ class TestCovisibility:
             np.stack([d0, d1]), K, poses, target_size=32)
         # frame 1 sees a near wall: frame 0's far points are occluded
         assert cov[0, 1] < 0.05
+
+
+class TestSplits:
+    """Procedural split rules replacing the reference's materialized
+    tables (reference datasets/utils/data_splits.py, 1734 LoC)."""
+
+    def test_blendedmvs_hex_rule(self):
+        from mapanything_tpu.data.splits import assign_split
+
+        # seql % 10 == 0 -> val (data_splits.py:18-32)
+        val_scene = f"{0x5A:08x}{100:016x}"
+        train_scene = f"{0x5A:08x}{101:016x}"
+        assert assign_split("blendedmvs", val_scene) == "val"
+        assert assign_split("blendedmvs", train_scene) == "train"
+
+    def test_named_lists(self):
+        from mapanything_tpu.data.splits import assign_split
+
+        assert assign_split("tav2_wb", "HongKong") == "val"
+        assert assign_split("tav2_wb", "Supermarket") == "test"
+        assert assign_split("tav2_wb", "AnythingElse") == "train"
+        assert assign_split("megadepth", "0015_0") == "val"
+        assert assign_split("megadepth", "9999_9") == "train"
+        assert assign_split("eth3d", "courtyard") == "test"
+
+    def test_fraction_rule_deterministic_and_close(self):
+        from mapanything_tpu.data.splits import split_scenes
+
+        scenes = [f"scene_{i:04d}" for i in range(2000)]
+        a = split_scenes("mpsd", scenes)
+        b = split_scenes("mpsd", scenes)
+        assert a == b  # stable across calls (sha1, not salted hash)
+        frac = len(a["val"]) / len(scenes)
+        assert 0.03 < frac < 0.07  # MPSD 95/5 (data_splits.py:1603-1616)
+        assert not a["test"]
+        assert sorted(a["train"] + a["val"]) == scenes
+
+    def test_build_scene_lists_feeds_dataset(self, wai_root, tmp_path):
+        """Materialized .npy lists load through WAIDataset unchanged."""
+        from mapanything_tpu.data.splits import SplitRule, build_scene_lists
+
+        meta = tmp_path / "meta"
+        paths = build_scene_lists(
+            "eth3d", ["scene_a", "scene_b"], str(meta),
+            rule=SplitRule(val_scenes=("scene_b",)),  # override all-test
+        )
+        assert set(paths) == {"train", "val"}
+        ds = make_ds(wai_root, num_views=2,
+                     dataset_metadata_dir=str(meta), split="val")
+        assert ds.scenes == ["scene_b"]
+        views = ds[0]
+        assert len(views) == 2
