@@ -190,3 +190,42 @@ class TestHTTPServer:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(req, timeout=60)
         assert ei.value.code == 400
+
+
+class TestShardedServing:
+    """Multi-chip serving: the engine runs unchanged with tensor-parallel
+    sharded params on a device mesh (virtual 8-CPU mesh here), and the
+    batched outputs match the unsharded single-device result."""
+
+    def test_tp_sharded_engine_matches_unsharded(self):
+        from mapanything_tpu.parallel import make_mesh, shard_params
+
+        model = MapAnything(cfg=TINY)
+        views = {"img": jnp.zeros((1, 2, H, W, 3), jnp.float32)}
+        params = jit_init(model, jax.random.PRNGKey(0), views,
+                          images_only_config())
+        scene = _scene(21)
+
+        plain = BatchingEngine(InferencePipeline(model, params),
+                               max_batch=2).start()
+        try:
+            ref = plain.infer(scene)
+        finally:
+            plain.stop()
+
+        mesh = make_mesh(n_data=4, n_model=2)
+        sharded_params = shard_params(params, mesh)
+        with mesh:
+            eng = BatchingEngine(InferencePipeline(model, sharded_params),
+                                 max_batch=2).start()
+            try:
+                out = eng.infer(scene)
+            finally:
+                eng.stop()
+
+        np.testing.assert_allclose(
+            out[0]["pts3d"], ref[0]["pts3d"], rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            out[1]["depth_z"], ref[1]["depth_z"], rtol=1e-4, atol=1e-5,
+        )
