@@ -56,6 +56,18 @@ def sdpa(
         from .flash_attention_bwd import flash_attention_trainable
 
         return flash_attention_trainable(q, k, v)
+    if impl.startswith("ring"):
+        # sequence-parallel attention: the caller is inside shard_map with
+        # the token axis sharded over "<axis>" ("ring" => "model"). Lets a
+        # trunk built from the same Blocks span its global attention across
+        # a mesh axis (ops/ring_attention.py).
+        from .ring_attention import ring_flash_attention
+
+        axis = impl.split(":", 1)[1] if ":" in impl else "model"
+        return ring_flash_attention(
+            q, k, v, axis_name=axis,
+            interpret=jax.default_backend() != "tpu",
+        )
     raise ValueError(f"unknown attention impl: {impl}")
 
 

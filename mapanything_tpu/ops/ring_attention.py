@@ -1,0 +1,252 @@
+"""Ring (sequence-parallel) flash attention over a device mesh axis.
+
+The reference caps its view count by one GPU's HBM — its trunk attention is
+never tiled ACROSS devices (SURVEY §5.7; reference model.py:1263-1300 chunks
+only the DPT head). This module shards the token axis (views × patches)
+over a mesh axis: each device holds one shard of q/k/v, computes flash
+attention against the k/v shard it currently holds, and passes k/v around
+the ring with `ppermute` — after `p` steps every q row has attended to the
+full sequence while no device ever materialized more than 1/p of k/v.
+Per-device memory is O(N/p · D), so the view ceiling scales linearly with
+the ring size (the 16 GB-chip ceiling × number of chips).
+
+Mechanics:
+  * `_flash_stats` is the production multi-block flash kernel
+    (ops/flash_attention.py) emitting the UNNORMALIZED accumulator plus the
+    online-softmax stats (row max `m`, row sum `l`) as two extra lanes of
+    the output tile — same (block_q, d+2) layout, no cross-lane transpose.
+  * ring steps merge in the standard online-softmax way:
+        m = max(m1, m2); acc = acc1·2^(m1−m) + acc2·2^(m2−m); same for l
+    and the final output is acc / l.
+  * `ring_flash_attention` is the shard_map-level function (call it inside
+    `shard_map` with q/k/v sharded on `axis_name`);
+    `ring_sdpa` wraps it for jit-level callers given a mesh + axis.
+
+Numerics match single-device flash attention exactly up to the usual
+reduction-order ulps (tested against ops/flash_attention.py and XLA
+attention on an 8-device mesh).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+from .flash_attention import _round_up, pick_block
+
+_LANES = 128
+
+
+def _flash_stats_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+                        *, scale: float, kv_len: int, block_k: int, d: int):
+    """Multi-block flash (ops/flash_attention._flash_kernel) that finalizes
+    to [unnormalized acc | m | l] in one (block_q, d+2) tile."""
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
+    k = k_ref[0]
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(s_dtype)
+
+    if kv_len % block_k != 0:
+        col = j * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (1, s.shape[1]), 1)
+        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)
+    p = jnp.exp2((s.astype(jnp.float32) - m_new)).astype(s_dtype)
+    l_new = alpha * l_prev + jnp.sum(
+        p.astype(jnp.float32), axis=-1, keepdims=True
+    )
+
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        # fully-masked q rows (padded or an all-padded k shard) keep
+        # m = -inf / l = 0; the ring merge and final divide guard them.
+        out = jnp.concatenate(
+            [acc_ref[:],
+             m_ref[:, :1].astype(jnp.float32),
+             l_ref[:, :1].astype(jnp.float32)],
+            axis=-1,
+        )
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_attention_stats(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    block_q: int = 1408,
+    block_k: int = 2048,
+    interpret: bool = False,
+):
+    """One flash pass returning (acc, m, l) in fp32.
+
+    acc is the UNNORMALIZED output accumulator (B, N, H, D); m/l are the
+    base-2-domain online-softmax stats (B, N, H). `acc / l` equals
+    `flash_attention(q, k, v)`.
+    """
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = d**-0.5
+
+    block_k = min(pick_block(kv_len, block_k), _round_up(kv_len, 128))
+    block_q = pick_block(n, min(block_q, 2**20 // block_k))
+    n_pad = _round_up(n, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    def to_bh(x, target_len):
+        x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        if x.shape[1] != target_len:
+            x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        return x
+
+    qb = to_bh(q, n_pad)
+    kb = to_bh(k, kv_pad)
+    vb = to_bh(v, kv_pad)
+
+    grid = (b * h, n_pad // block_q, kv_pad // block_k)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_stats_kernel, scale=scale, kv_len=kv_len,
+            block_k=block_k, d=d,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d + 2),
+                               lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d + 2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :n].reshape(b, h, n, d + 2)
+    out = jnp.swapaxes(out, 1, 2)  # (B, N, H, d+2)
+    return out[..., :d], out[..., d], out[..., d + 1]
+
+
+def _merge(acc1, m1, l1, acc2, m2, l2):
+    """Online-softmax merge of two partial attention states."""
+    m = jnp.maximum(m1, m2)
+    # guard -inf - -inf (rows no shard attended to yet)
+    a1 = jnp.where(m1 == -jnp.inf, 0.0, jnp.exp2(m1 - m))
+    a2 = jnp.where(m2 == -jnp.inf, 0.0, jnp.exp2(m2 - m))
+    return (acc1 * a1[..., None] + acc2 * a2[..., None],
+            jnp.where(m == -jnp.inf, -jnp.inf, m),
+            l1 * a1 + l2 * a2)
+
+
+def ring_flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full-sequence attention from per-device shards (shard_map level).
+
+    Args:
+        q, k, v: the LOCAL shard (B, N/p, H, D) of arrays sharded along the
+            token axis over `axis_name`; every shard must be the same size
+            (pad tokens before sharding — softmax of padded q rows is
+            garbage but sliced away by the caller, and padded k rows must
+            be masked by the caller if their dot products could be finite;
+            standard practice is to pad with zeros, which this kernel's
+            scale-folded q makes harmless only for zero q — use
+            `ring_sdpa` which handles padding).
+        axis_name: mesh axis the sequence is sharded over.
+
+    Returns:
+        (B, N/p, H, D) — the local shard of the full attention output.
+    """
+    p = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    acc, m, l = flash_attention_stats(q, k, v, interpret=interpret)
+
+    def step(_, carry):
+        acc, m, l, kc, vc = carry
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        acc2, m2, l2 = flash_attention_stats(q, kc, vc, interpret=interpret)
+        acc, m, l = _merge(acc, m, l, acc2, m2, l2)
+        return acc, m, l, kc, vc
+
+    acc, m, l, _, _ = jax.lax.fori_loop(0, p - 1, step, (acc, m, l, k, v))
+    out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
+    return out.astype(q.dtype)
+
+
+def ring_sdpa(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh,
+    seq_axis: str = "model",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """jit-level ring attention: shards the token axis of GLOBAL (B, N, H, D)
+    arrays over `mesh[seq_axis]` and runs the ring.
+
+    N must divide evenly by the axis size (pad + slice at the caller if
+    ragged — the model's view×patch token counts are multiples of the
+    patch count per view, so sharding by views is the natural choice).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    n = q.shape[1]
+    size = mesh.shape[seq_axis]
+    assert n % size == 0, (
+        f"token axis {n} must divide the ring size {size}; pad views first"
+    )
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(P(None, seq_axis, None, None),) * 3,
+        out_specs=P(None, seq_axis, None, None),
+    )
+    body = functools.partial(ring_flash_attention, axis_name=seq_axis,
+                             interpret=interpret)
+    try:
+        fn = shard_map(body, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(body, check_rep=False, **kwargs)
+    return fn(q, k, v)
