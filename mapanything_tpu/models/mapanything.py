@@ -152,6 +152,11 @@ class MapAnythingConfig:
     distinguish_ref_and_non_ref_views: bool = True
     use_view_pe: bool = False
     trunk_gradient_checkpointing: bool = False
+    # Sequence-parallel inference: mesh axis the VIEW dimension is sharded
+    # over (the model must then be applied inside shard_map — use
+    # parallel.view_sharded_forward). Global trunk attention runs as ring
+    # attention; per-view compute is unchanged. Alternating trunk only.
+    trunk_seq_axis: Optional[str] = None
     # Ablation knobs (reference MapAnythingAblations, ablations.py:78):
     # drop the scale token (metric_scaling_factor fixed to 1) and/or use
     # RoPE2D in the trunk's frame attention ("RoPE<freq>").
@@ -328,6 +333,11 @@ class MapAnything(nn.Module):
                 f"unknown info_sharing_type {cfg.info_sharing_type!r}; "
                 "options: 'alternating', 'global', 'cross'"
             )
+        if cfg.trunk_seq_axis and cfg.info_sharing_type != "alternating":
+            raise ValueError(
+                "trunk_seq_axis (sequence-parallel inference) is supported "
+                "for the alternating trunk only"
+            )
         trunk = trunk_cls(
             input_embed_dim=enc_dim,
             dim=cfg.trunk_dim,
@@ -340,6 +350,7 @@ class MapAnything(nn.Module):
             dtype=cfg.dtype,
             param_dtype=self.param_dtype,
             remat=cfg.trunk_gradient_checkpointing,
+            seq_axis=cfg.trunk_seq_axis,
             name="info_sharing",
         )
         view_indices = None
@@ -649,9 +660,19 @@ class MapAnything(nn.Module):
         if has_pose:
             quats = views["camera_pose_quats"].astype(jnp.float32)
             trans = views["camera_pose_trans"].astype(jnp.float32)
-            # Relative to reference view 0 of the same sample.
-            q0 = jnp.broadcast_to(quats[:, :1], quats.shape)
-            t0 = jnp.broadcast_to(trans[:, :1], trans.shape)
+            # Relative to reference view 0 of the same sample. Under
+            # sequence-parallel sharding the GLOBAL view 0 lives on shard 0:
+            # gather each shard's first view and take shard 0's.
+            if cfg.trunk_seq_axis:
+                q0 = jax.lax.all_gather(
+                    quats[:, :1], cfg.trunk_seq_axis)[0]
+                t0 = jax.lax.all_gather(
+                    trans[:, :1], cfg.trunk_seq_axis)[0]
+                q0 = jnp.broadcast_to(q0, quats.shape)
+                t0 = jnp.broadcast_to(t0, trans.shape)
+            else:
+                q0 = jnp.broadcast_to(quats[:, :1], quats.shape)
+                t0 = jnp.broadcast_to(trans[:, :1], trans.shape)
             rel_q, rel_t = transform_pose_using_quats_and_trans_2_to_1(
                 q0, t0, quats, trans
             )
@@ -665,9 +686,21 @@ class MapAnything(nn.Module):
             )(rel_q.reshape(b * v, 4)).reshape(b, v, enc_dim)
             quat_feat = quat_feat * cam_mask[..., None]
 
-            scaled_t, t_norm = normalize_pose_translations(
-                rel_t, return_norm_factor=True
-            )  # (B, V, 3), (B,)
+            if cfg.trunk_seq_axis:
+                # mean norm of non-zero translations across ALL shards
+                from ..geometry import safe_norm as _safe_norm
+
+                dis = _safe_norm(rel_t, axis=-1)  # (B, V_local)
+                num = jax.lax.psum(jnp.sum(dis, axis=-1),
+                                   cfg.trunk_seq_axis)
+                den = jax.lax.psum(jnp.sum(dis > 0, axis=-1),
+                                   cfg.trunk_seq_axis)
+                t_norm = jnp.clip(num / (den + 1e-8), 1e-8, None)  # (B,)
+                scaled_t = rel_t / t_norm[:, None, None]
+            else:
+                scaled_t, t_norm = normalize_pose_translations(
+                    rel_t, return_norm_factor=True
+                )  # (B, V, 3), (B,)
             trans_feat = GlobalRepEncoder(
                 enc_dim, dtype=jnp.float32, param_dtype=self.param_dtype,
                 name="cam_trans_encoder",

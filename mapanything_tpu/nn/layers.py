@@ -177,3 +177,154 @@ class Block(nn.Module):
             h = LayerScale(self.dim, self.layerscale_init,
                            param_dtype=self.param_dtype, name="ls2")(h)
         return x + h
+
+
+class _RingAttention(nn.Module):
+    """Attention over [view-sharded patch tokens | replicated extra tokens].
+
+    Param tree is identical to `Attention` (fused "qkv" + "proj" Dense), so
+    checkpoints convert unchanged; only the forward differs. Inside
+    shard_map with patch tokens sharded on `axis_name`:
+
+      * patch q rows attend to ALL patches via the k/v ring
+        (ops/ring_attention.ring_flash_stats) merged with the replicated
+        extra-token k/v (local exact stats);
+      * extra-token q rows attend to all patches by all-gathering each
+        shard's partial stats (tiny: (B, T, H, D+2) per shard) plus their
+        own self-attention — every shard computes the same result, keeping
+        the extra tokens replicated.
+    """
+
+    dim: int
+    num_heads: int
+    axis_name: str
+    qkv_bias: bool = True
+    proj_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    entropy_scaling_base: Optional[int] = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, tok: jnp.ndarray):
+        import jax
+
+        from ..ops.ring_attention import (
+            _merge,
+            attention_stats,
+            ring_flash_stats,
+        )
+
+        b, nl, c = x.shape
+        t = tok.shape[1]
+        head_dim = self.dim // self.num_heads
+        qkv = nn.Dense(
+            3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="qkv",
+        )
+        proj = nn.Dense(
+            self.dim, use_bias=self.proj_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype, name="proj",
+        )
+
+        def split(z):
+            z = z.reshape(z.shape[0], z.shape[1], 3, self.num_heads, head_dim)
+            return z[:, :, 0], z[:, :, 1], z[:, :, 2]
+
+        qx, kx, vx = split(qkv(x))
+        qt, kt, vt = split(qkv(tok)) if t else (None, None, None)
+
+        ring_size = jax.lax.psum(1, self.axis_name)
+        if self.entropy_scaling_base is not None:
+            import math
+
+            n_global = nl * ring_size + t
+            # static under jit only if ring_size is static; compute in jnp
+            factor = jnp.log(jnp.float32(n_global)) / math.log(
+                self.entropy_scaling_base
+            )
+            factor = jnp.maximum(factor, 1.0).astype(qx.dtype)
+            qx = qx * factor
+            if t:
+                qt = qt * factor
+
+        # ---- patch rows: ring over all patches + replicated extra tokens
+        acc, m, l = ring_flash_stats(qx, kx, vx, self.axis_name,
+                                     interpret=self.interpret)
+        if t:
+            acc2, m2, l2 = attention_stats(qx, kt, vt)
+            acc, m, l = _merge(acc, m, l, acc2, m2, l2)
+        out_x = (acc / jnp.where(l == 0.0, 1.0, l)[..., None]).astype(x.dtype)
+        out_x = proj(out_x.reshape(b, nl, self.dim))
+
+        if not t:
+            return out_x, tok
+
+        # ---- extra-token rows: gather per-shard partial stats (replicated
+        # result on every shard)
+        acc_l, m_l, l_l = attention_stats(qt, kx, vx)  # vs LOCAL patches
+        g_acc = jax.lax.all_gather(acc_l, self.axis_name)  # (p, B, T, H, D)
+        g_m = jax.lax.all_gather(m_l, self.axis_name)
+        g_l = jax.lax.all_gather(l_l, self.axis_name)
+        acc_t, m_t, l_t = attention_stats(qt, kt, vt)  # self-attention
+        for i in range(g_acc.shape[0]):
+            acc_t, m_t, l_t = _merge(acc_t, m_t, l_t,
+                                     g_acc[i], g_m[i], g_l[i])
+        out_t = (acc_t / jnp.where(l_t == 0.0, 1.0, l_t)[..., None]).astype(
+            tok.dtype)
+        out_t = proj(out_t.reshape(b, t, self.dim))
+        return out_x, out_t
+
+
+class RingGlobalBlock(nn.Module):
+    """`Block` over the global sequence [patches; extra tokens] with the
+    patch tokens view-sharded over a mesh axis (sequence parallelism).
+
+    Same param tree as `Block` (norm1 / attn{qkv, proj} / ls1 / norm2 /
+    mlp{fc1, fc2} / ls2) — a trunk can swap this in per layer without any
+    checkpoint or converter change. The LN/MLP/LayerScale modules are
+    instantiated once and applied to both the local patch shard and the
+    replicated extra tokens (elementwise, so sharding is transparent);
+    only attention needs the ring.
+    """
+
+    dim: int
+    num_heads: int
+    axis_name: str
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    entropy_scaling_base: Optional[int] = None
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, tok: jnp.ndarray):
+        ln1 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm1")
+        attn = _RingAttention(
+            self.dim, self.num_heads, axis_name=self.axis_name,
+            qkv_bias=self.qkv_bias, dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            entropy_scaling_base=self.entropy_scaling_base,
+            interpret=self.interpret, name="attn",
+        )
+        hx, ht = attn(ln1(x), ln1(tok))
+        if self.layerscale_init is not None:
+            ls1 = LayerScale(self.dim, self.layerscale_init,
+                             param_dtype=self.param_dtype, name="ls1")
+            hx, ht = ls1(hx), ls1(ht)
+        x = x + hx
+        tok = tok + ht
+
+        ln2 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="norm2")
+        mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
+                  param_dtype=self.param_dtype, name="mlp")
+        hx, ht = mlp(ln2(x)), mlp(ln2(tok))
+        if self.layerscale_init is not None:
+            ls2 = LayerScale(self.dim, self.layerscale_init,
+                             param_dtype=self.param_dtype, name="ls2")
+            hx, ht = ls2(hx), ls2(ht)
+        return x + hx, tok + ht

@@ -37,9 +37,10 @@ from __future__ import annotations
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-from .layers import Block, FusedLayerNorm
+from .layers import Block, FusedLayerNorm, RingGlobalBlock
 
 
 class AlternatingAttentionTrunk(nn.Module):
@@ -68,6 +69,12 @@ class AlternatingAttentionTrunk(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     frame_attn_impl: str = "auto"
     global_attn_impl: str = "auto"
+    # Sequence parallelism: when set, this trunk is being traced inside
+    # shard_map with the VIEW axis sharded over this mesh axis — global
+    # layers run ring attention (ops/ring_attention.py) and ref/view-PE
+    # indices are offset by the shard's global view offset. Frame layers,
+    # LN and MLP are per-view and need no change.
+    seq_axis: Optional[str] = None
     remat: bool = False
 
     @nn.compact
@@ -80,6 +87,11 @@ class AlternatingAttentionTrunk(nn.Module):
         b, v, gh, gw, _ = features.shape
         p = gh * gw
         t = extra_tokens.shape[1]
+
+        # global view offset of this shard (0 when not view-sharded)
+        view_offset = (
+            jax.lax.axis_index(self.seq_axis) * v if self.seq_axis else 0
+        )
 
         x = features.reshape(b, v, p, self.input_embed_dim)
         proj = nn.Dense(self.dim, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -94,7 +106,8 @@ class AlternatingAttentionTrunk(nn.Module):
                 (2, self.dim),
                 self.param_dtype,
             ).astype(self.dtype)
-            is_ref = (jnp.arange(v) == 0).astype(self.dtype)[None, :, None, None]
+            is_ref = (view_offset + jnp.arange(v) == 0).astype(
+                self.dtype)[None, :, None, None]
             x = x + is_ref * view_embed[0] + (1.0 - is_ref) * view_embed[1]
 
         if self.use_view_pe:
@@ -109,7 +122,8 @@ class AlternatingAttentionTrunk(nn.Module):
                 self.param_dtype,
             )
             if view_indices is None:
-                view_indices = jnp.broadcast_to(jnp.arange(v)[None], (b, v))
+                view_indices = jnp.broadcast_to(
+                    (view_offset + jnp.arange(v))[None], (b, v))
             x = x + pe_table[view_indices].astype(self.dtype)[:, :, None, :]
 
         rope = None
@@ -121,8 +135,41 @@ class AlternatingAttentionTrunk(nn.Module):
 
         intermediates = []
         block_cls = nn.remat(Block) if self.remat else Block
+        ring_cls = (nn.remat(RingGlobalBlock) if self.remat
+                    else RingGlobalBlock)
         for i in range(self.depth):
             is_global = i % 2 == 1
+            if is_global and self.seq_axis:
+                import jax as _jax
+
+                blk = ring_cls(
+                    self.dim,
+                    self.num_heads,
+                    axis_name=self.seq_axis,
+                    mlp_ratio=self.mlp_ratio,
+                    qkv_bias=self.qkv_bias,
+                    layerscale_init=self.layerscale_init,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    entropy_scaling_base=(
+                        p if self.use_entropy_scaling else None
+                    ),
+                    interpret=_jax.default_backend() != "tpu",
+                    name=f"layers_{i}",
+                )
+                x_flat, tok = blk(x.reshape(b, v * p, self.dim), tok)
+                x = x_flat.reshape(b, v, p, self.dim)
+                if i in self.indices:
+                    feat = x
+                    if self.norm_intermediate:
+                        feat = FusedLayerNorm(
+                            epsilon=1e-6, dtype=self.dtype,
+                            param_dtype=self.param_dtype,
+                            name=f"norm_intermediate_{i}",
+                        )(feat).astype(self.dtype)
+                    intermediates.append(
+                        feat.reshape(b, v, gh, gw, self.dim))
+                continue
             blk = block_cls(
                 self.dim,
                 self.num_heads,

@@ -172,6 +172,37 @@ def _merge(acc1, m1, l1, acc2, m2, l2):
             l1 * a1 + l2 * a2)
 
 
+def ring_flash_stats(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    axis_name: str,
+    interpret: bool = False,
+):
+    """Full-ring partial-attention state from per-device shards.
+
+    Returns (acc, m, l) fp32 for the LOCAL q rows after attending to the
+    FULL sequence (every k/v shard around the ring). Callers that need to
+    merge more context in (e.g. replicated global tokens) merge with
+    `_merge` before normalizing by `l`.
+    """
+    p = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    acc, m, l = flash_attention_stats(q, k, v, interpret=interpret)
+
+    def step(_, carry):
+        acc, m, l, kc, vc = carry
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        acc2, m2, l2 = flash_attention_stats(q, kc, vc, interpret=interpret)
+        acc, m, l = _merge(acc, m, l, acc2, m2, l2)
+        return acc, m, l, kc, vc
+
+    acc, m, l, _, _ = jax.lax.fori_loop(0, p - 1, step, (acc, m, l, k, v))
+    return acc, m, l
+
+
 def ring_flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -195,22 +226,29 @@ def ring_flash_attention(
     Returns:
         (B, N/p, H, D) — the local shard of the full attention output.
     """
-    p = jax.lax.psum(1, axis_name)
-    perm = [(i, (i + 1) % p) for i in range(p)]
-
-    acc, m, l = flash_attention_stats(q, k, v, interpret=interpret)
-
-    def step(_, carry):
-        acc, m, l, kc, vc = carry
-        kc = jax.lax.ppermute(kc, axis_name, perm)
-        vc = jax.lax.ppermute(vc, axis_name, perm)
-        acc2, m2, l2 = flash_attention_stats(q, kc, vc, interpret=interpret)
-        acc, m, l = _merge(acc, m, l, acc2, m2, l2)
-        return acc, m, l, kc, vc
-
-    acc, m, l, _, _ = jax.lax.fori_loop(0, p - 1, step, (acc, m, l, k, v))
+    acc, m, l = ring_flash_stats(q, k, v, axis_name, interpret=interpret)
     out = acc / jnp.where(l == 0.0, 1.0, l)[..., None]
     return out.astype(q.dtype)
+
+
+def attention_stats(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray):
+    """Exact (XLA) partial-attention state in the kernel's base-2 domain.
+
+    For tiny key sets (the trunk's replicated scale token) where a pallas
+    call would be overhead: returns (acc, m, l) fp32 mergeable with
+    `ring_flash_stats` outputs via `_merge`. q, k, v are (B, N, H, D).
+    """
+    d = q.shape[-1]
+    scale = d**-0.5 * 1.4426950408889634  # base-2 domain, scale folded in
+    s = jnp.einsum(
+        "bnhd,bmhd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    m = jnp.max(s, axis=-1)  # (B, H, N)
+    p = jnp.exp2(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhnm,bmhd->bnhd", p, v.astype(jnp.float32))
+    # match (B, N, H, ...) layout of flash_attention_stats
+    return acc, jnp.swapaxes(m, 1, 2), jnp.swapaxes(l, 1, 2)
 
 
 def ring_sdpa(

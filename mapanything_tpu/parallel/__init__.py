@@ -1,5 +1,6 @@
 """Device mesh + sharding utilities (the distributed backend)."""
 
+from .inference import view_sharded_forward
 from .mesh import (
     batch_sharding,
     make_mesh,
@@ -14,4 +15,5 @@ __all__ = [
     "param_sharding",
     "shard_batch",
     "shard_params",
+    "view_sharded_forward",
 ]

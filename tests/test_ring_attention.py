@@ -124,3 +124,79 @@ class TestBlockIntegration:
         out = fn(params, x)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=3e-4, atol=3e-5)
+
+
+class TestViewShardedModel:
+    """FULL MapAnything forward with views sharded over the mesh — the
+    view-ceiling-beyond-one-chip capability (SURVEY §5.7 north star). All
+    priors on, so the global-view-0 pose reference and the psum'd
+    translation norm are exercised; outputs must match the unsharded
+    forward."""
+
+    def test_matches_unsharded(self):
+        from mapanything_tpu.data.synthetic import make_synthetic_batch
+        from mapanything_tpu.models import (
+            GeometricInputConfig,
+            MapAnything,
+            MapAnythingConfig,
+            jit_init,
+        )
+        from mapanything_tpu.parallel import view_sharded_forward
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(n_data=1, n_model=8)
+
+        cfg = MapAnythingConfig(
+            encoder_size="test", trunk_dim=64, trunk_depth=2,
+            trunk_num_heads=2, trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dense_head_chunk=2, dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        batch = make_synthetic_batch(batch_size=1, num_views=8,
+                                     height=28, width=28, seed=5)
+        geom = GeometricInputConfig()  # all priors on, deterministic
+
+        params = jit_init(model, jax.random.PRNGKey(0), batch["views"],
+                          geom)
+        ref = jax.jit(lambda p, vw: model.apply(p, vw, geom))(
+            params, batch["views"])
+
+        out = view_sharded_forward(model, params, batch["views"], mesh,
+                                   geom_cfg=geom, seq_axis="model")
+
+        assert set(out) == set(ref)
+        for k in ("pts3d", "pts3d_cam", "depth_along_ray", "conf",
+                  "cam_quats", "cam_trans", "metric_scaling_factor"):
+            np.testing.assert_allclose(
+                np.asarray(out[k]), np.asarray(ref[k]),
+                rtol=5e-4, atol=5e-5, err_msg=k,
+            )
+
+    def test_stochastic_geom_rejected(self):
+        from mapanything_tpu.models import (
+            MapAnything,
+            MapAnythingConfig,
+            aug_training_config,
+        )
+        from mapanything_tpu.parallel import view_sharded_forward
+
+        mesh = make_mesh(n_data=1, n_model=8)
+        model = MapAnything(cfg=MapAnythingConfig(encoder_size="test"))
+        with pytest.raises(ValueError, match="deterministic"):
+            view_sharded_forward(
+                model, {}, {"img": jnp.zeros((1, 8, 28, 28, 3))}, mesh,
+                geom_cfg=aug_training_config(),
+            )
+
+    def test_ragged_view_count_rejected(self):
+        from mapanything_tpu.models import MapAnything, MapAnythingConfig
+        from mapanything_tpu.parallel import view_sharded_forward
+
+        mesh = make_mesh(n_data=1, n_model=8)
+        model = MapAnything(cfg=MapAnythingConfig(encoder_size="test"))
+        with pytest.raises(ValueError, match="divide"):
+            view_sharded_forward(
+                model, {}, {"img": jnp.zeros((1, 6, 28, 28, 3))}, mesh,
+            )
