@@ -311,9 +311,18 @@ class InferencePipeline:
     hit the compile cache.
     """
 
-    def __init__(self, model: MapAnything, params):
+    def __init__(self, model: MapAnything, params,
+                 view_shard_mesh=None, seq_axis: str = "model"):
+        """Args:
+            view_shard_mesh: optional jax Mesh — forwards run view-sharded
+                over `seq_axis` (sequence-parallel ring attention,
+                parallel/inference.py), lifting the view ceiling to the
+                whole mesh. The view count must divide the axis size.
+        """
         self.model = model
         self.params = params
+        self.view_shard_mesh = view_shard_mesh
+        self.seq_axis = seq_axis
         self._jitted = {}
 
     def infer(
@@ -394,14 +403,24 @@ class InferencePipeline:
         # negligible next to the network.
         fn = self._jitted.get(flags)
         if fn is None:
-            fwd = jax.jit(
-                partial(
-                    _forward_only,
-                    model=self.model,
-                    geom_cfg=geom_cfg,
+            if self.view_shard_mesh is not None:
+                from ..parallel import view_sharded_forward
+
+                fwd = partial(
+                    view_sharded_forward, self.model,
+                    mesh=self.view_shard_mesh, geom_cfg=geom_cfg,
+                    seq_axis=self.seq_axis,
                     memory_efficient=memory_efficient_inference,
                 )
-            )
+            else:
+                fwd = jax.jit(
+                    partial(
+                        _forward_only,
+                        model=self.model,
+                        geom_cfg=geom_cfg,
+                        memory_efficient=memory_efficient_inference,
+                    )
+                )
             post = jax.jit(
                 partial(
                     postprocess_outputs,

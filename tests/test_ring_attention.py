@@ -200,3 +200,51 @@ class TestViewShardedModel:
             view_sharded_forward(
                 model, {}, {"img": jnp.zeros((1, 6, 28, 28, 3))}, mesh,
             )
+
+
+class TestViewShardedPipeline:
+    """InferencePipeline(view_shard_mesh=...) serves many-view scenes
+    sequence-parallel end to end (forward + postprocess)."""
+
+    def test_pipeline_matches_unsharded(self):
+        from mapanything_tpu.models import (
+            MapAnything,
+            MapAnythingConfig,
+            images_only_config,
+            jit_init,
+        )
+        from mapanything_tpu.utils.inference import InferencePipeline
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(n_data=1, n_model=8)
+
+        cfg = MapAnythingConfig(
+            encoder_size="test", trunk_dim=64, trunk_depth=2,
+            trunk_num_heads=2, trunk_indices=(0, 1), dpt_feature_dim=32,
+            dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+            dense_head_chunk=2, dtype=jnp.float32,
+        )
+        model = MapAnything(cfg=cfg)
+        rng = np.random.default_rng(6)
+        imgs = rng.normal(size=(8, 1, 28, 28, 3)).astype(np.float32) * 0.3
+        view_list = [{"img": jnp.asarray(imgs[i]),
+                      "data_norm_type": ["dinov2"]} for i in range(8)]
+        init_views = {"img": jnp.asarray(imgs.transpose(1, 0, 2, 3, 4))}
+        params = jit_init(model, jax.random.PRNGKey(0), init_views,
+                          images_only_config())
+
+        plain = InferencePipeline(model, params)
+        ref = plain.infer(view_list, apply_confidence_mask=True)
+
+        sharded = InferencePipeline(model, params, view_shard_mesh=mesh)
+        out = sharded.infer(view_list, apply_confidence_mask=True)
+
+        assert len(out) == len(ref) == 8
+        for i in (0, 3, 7):
+            np.testing.assert_allclose(
+                np.asarray(out[i]["pts3d"]), np.asarray(ref[i]["pts3d"]),
+                rtol=5e-4, atol=5e-5,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out[i]["mask"]), np.asarray(ref[i]["mask"]))
