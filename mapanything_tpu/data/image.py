@@ -351,6 +351,9 @@ def preprocess_inputs(
             poses = np.asarray(v["camera_poses"], np.float32)
             out["camera_poses"] = poses[None] if poses.ndim == 2 else poses
         if "is_metric_scale" in v:
-            out["is_metric_scale"] = v["is_metric_scale"]
+            # (1,) bool array: keeps batch merging (serve.py) and
+            # stack_views treating it like every other per-view array
+            out["is_metric_scale"] = np.atleast_1d(
+                np.asarray(v["is_metric_scale"], bool))
         out_views.append(out)
     return out_views

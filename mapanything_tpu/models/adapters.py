@@ -198,15 +198,11 @@ class VGGTAdapter:
             depthmap_to_camera_frame,
             get_rays_in_camera_frame,
         )
-        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
 
-        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
-        b, v, h, w, _ = imgs.shape
         # VGGT expects [0,1] images ("identity" norm,
         # external/vggt/__init__.py:104-108) — undo our data norm
-        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
-        imgs01 = np.clip(imgs * std.astype(np.float32)
-                         + mean.astype(np.float32), 0.0, 1.0)
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
         t_imgs = torch.from_numpy(
             np.ascontiguousarray(imgs01.transpose(0, 1, 4, 2, 3))
         )
@@ -309,13 +305,9 @@ class Pi3Adapter:
         import torch
 
         from ..geometry import rotation_matrix_to_quaternion as rot2quat
-        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
 
-        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
-        b, v, h, w, _ = imgs.shape
-        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
-        imgs01 = np.clip(imgs * std.astype(np.float32)
-                         + mean.astype(np.float32), 0.0, 1.0)
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
         t_imgs = torch.from_numpy(
             np.ascontiguousarray(imgs01.transpose(0, 1, 4, 2, 3))
         )  # (B,V,3,H,W)
@@ -386,13 +378,9 @@ class MoGeAdapter:
         import numpy as np
         import torch
 
-        from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
 
-        imgs = np.asarray(views["img"], np.float32)  # (B,V,H,W,3)
-        b, v, h, w, _ = imgs.shape
-        mean, std = IMAGE_NORMALIZATION_DICT[self.data_norm_type]
-        imgs01 = np.clip(imgs * std.astype(np.float32)
-                         + mean.astype(np.float32), 0.0, 1.0)
+        imgs01 = _denormalize_images(views, self.data_norm_type)
+        b, v, h, w, _ = imgs01.shape
 
         pts, masks = [], []
         self.model.eval()
@@ -690,7 +678,7 @@ class MUSt3RAdapter:
                  **kw):
         import numpy as np
         import torch
-        from must3r.demo.inference import inference_multi_ar  # noqa: F401
+        from must3r.engine.inference import inference_multi_ar  # noqa: F401
         from must3r.model import load_model
 
         from ..nn.dinov2 import IMAGE_NORMALIZATION_DICT
@@ -812,7 +800,12 @@ class Pow3RAdapter:
             out["camera_intrinsics"] = np.asarray(
                 recover_pinhole_intrinsics_from_ray_directions(rays)
             )
-        if self._rng.random() < g.depth_prob and "depth_along_ray" in views:
+        if (self._rng.random() < g.depth_prob
+                and "depth_along_ray" in views
+                and "ray_directions_cam" in views):
+            # rays are needed to convert depth-along-ray to the z-depth
+            # Pow3R consumes; without calibration the depth prior is
+            # unusable (matches the reference's add_depth needing pixels)
             dar = np.asarray(views["depth_along_ray"])[:, view_idx]
             rays_z = np.asarray(views["ray_directions_cam"])[:, view_idx,
                                                              ..., 2:3]

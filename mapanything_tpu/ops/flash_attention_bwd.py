@@ -209,7 +209,17 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
     # the global attention at training view counts take the 1-pass kernel.
     # (single_pass_max is a test knob for exercising the multi-block path
     # at small shapes.)
-    if _round_up(kv_len, 128) <= single_pass_max:
+    #
+    # Unlike serving, the backward kernels materialize ~three fp32
+    # (block_q, block_k) intermediates (s, p, dp in _dkv_kernel), so the
+    # single-pass widening must ALSO respect a tile-area budget: 2^20
+    # elements (3 x 4 MB of scoped VMEM). Without it, the flagship 2-view
+    # global shape (kv=2739 -> 2816 single-pass at block_q=1024) would
+    # build 32 MB of tiles and overflow VMEM — the caller's
+    # min(block_k, 1024) cap alone cannot prevent that because this branch
+    # overrides block_k.
+    if (_round_up(kv_len, 128) <= single_pass_max
+            and block_q * _round_up(kv_len, 128) <= 2**20):
         block_k = _round_up(kv_len, 128)
     else:
         block_k = pick_block(kv_len, block_k)

@@ -111,7 +111,7 @@ def _scene_key(views: List[Dict[str, Any]], flags: Dict[str, Any]):
         tuple(sorted(
             k for k in v
             if k in ("intrinsics", "ray_directions", "depth_z",
-                     "camera_poses")
+                     "camera_poses", "is_metric_scale")
         ))
         for v in views
     )
@@ -140,8 +140,9 @@ class BatchingEngine:
         self.pipeline = pipeline
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
-        self.nice_batches = tuple(sorted(b for b in nice_batches
-                                         if b <= max_batch)) or (1,)
+        # always include max_batch so any group has a nice size >= its own
+        self.nice_batches = tuple(sorted(
+            {b for b in nice_batches if b <= max_batch} | {max_batch}))
         self.stats = ServeStats()
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()

@@ -406,12 +406,14 @@ class InferencePipeline:
             if self.view_shard_mesh is not None:
                 from ..parallel import view_sharded_forward
 
-                fwd = partial(
+                # jit so repeat calls hit the trace cache — unjitted, every
+                # request would redo the eval_shape + shard_map setup
+                fwd = jax.jit(partial(
                     view_sharded_forward, self.model,
                     mesh=self.view_shard_mesh, geom_cfg=geom_cfg,
                     seq_axis=self.seq_axis,
                     memory_efficient=memory_efficient_inference,
-                )
+                ))
             else:
                 fwd = jax.jit(
                     partial(

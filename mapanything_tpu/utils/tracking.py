@@ -249,13 +249,15 @@ def frame_features_from_encoder(encoder_apply, images: jnp.ndarray,
                                 batch: int = 8) -> jnp.ndarray:
     """Mean-pooled, L2-normalized encoder patch tokens per frame.
 
-    ``encoder_apply``: callable (F', H, W, 3) -> (F', N, D) patch tokens
-    (e.g. the MapAnything model's own DINOv2 encoder bound to its params).
+    ``encoder_apply``: callable (F', H, W, 3) -> patch tokens, either
+    (F', N, D) or grid-shaped (F', gh, gw, D) — DinoViT returns the grid
+    layout (e.g. the MapAnything model's own encoder bound to its params).
     Frames are processed in chunks of ``batch`` to bound activation memory.
     """
     feats = []
     for i in range(0, images.shape[0], batch):
         tok = encoder_apply(images[i:i + batch])
+        tok = tok.reshape(tok.shape[0], -1, tok.shape[-1])  # (F', N, D)
         feats.append(tok.mean(axis=1))
     f = jnp.concatenate(feats, axis=0)
     return f / (jnp.linalg.norm(f, axis=-1, keepdims=True) + 1e-8)

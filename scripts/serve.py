@@ -36,7 +36,8 @@ def main():
     p.add_argument("--warmup-views", type=int, default=2,
                    help="compile the common signature before serving "
                         "(0 disables)")
-    p.add_argument("--bf16", action="store_true", default=True)
+    p.add_argument("--fp32", action="store_true",
+                   help="serve in float32 (default: bfloat16)")
     args = p.parse_args()
 
     import jax
@@ -52,7 +53,7 @@ def main():
     from mapanything_tpu.utils.inference import InferencePipeline
 
     cfg = MapAnythingConfig(
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         fold_layerscale=args.checkpoint is not None,
     )
     model = MapAnything(cfg=cfg)

@@ -130,6 +130,28 @@ class TestQueryFrameRanking:
         np.testing.assert_allclose(
             np.linalg.norm(np.asarray(feats), axis=-1), 1.0, atol=1e-5)
 
+    def test_encoder_pooling_grid_layout(self):
+        """DinoViT returns (F, gh, gw, D) grids — the pooling must accept
+        them (demo_colmap --ba query ranking feeds the model's own
+        encoder)."""
+        from mapanything_tpu.utils.tracking import (
+            frame_features_from_encoder,
+            rank_query_frames,
+        )
+
+        rng = np.random.default_rng(0)
+
+        def grid_encoder(x):  # (F', H, W, 3) -> (F', gh, gw, D)
+            f = x.shape[0]
+            return jnp.asarray(
+                rng.normal(size=(f, 3, 4, 6)).astype(np.float32))
+
+        feats = frame_features_from_encoder(
+            grid_encoder, jnp.ones((5, 8, 8, 3)), batch=2)
+        assert feats.shape == (5, 6)
+        ranked = rank_query_frames(feats, 3)
+        assert len(ranked) == 3
+
 
 def _quat_rand(rng, eps):
     a = rng.normal(size=3) * eps

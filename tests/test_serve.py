@@ -229,3 +229,47 @@ class TestShardedServing:
         np.testing.assert_allclose(
             out[1]["depth_z"], ref[1]["depth_z"], rtol=1e-4, atol=1e-5,
         )
+
+
+class TestMetricScaleRequests:
+    def test_metric_scale_scenes_batch_and_key_separately(self, engine):
+        """is_metric_scale is a batchable per-view array AND part of the
+        signature key, so flagged scenes never merge behind flagless ones
+        (previously: np.concatenate over 0-d bools crashed the group)."""
+        scene_plain = _scene(30)
+        scene_metric = _scene(31)
+        for view in scene_metric:
+            view["is_metric_scale"] = np.asarray([True])
+
+        errors_before = engine.stats.errors  # fixture is module-shared
+        f1 = engine.submit(scene_plain)
+        f2 = engine.submit(scene_metric)
+        o1, o2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert engine.stats.errors == errors_before
+        assert np.isfinite(o1[0]["pts3d"]).all()
+        assert np.isfinite(o2[0]["pts3d"]).all()
+
+    def test_http_is_metric_scale_roundtrip(self, engine):
+        """The documented npz field works end to end."""
+        from mapanything_tpu.data import image as image_mod
+        from mapanything_tpu.serve import InferenceServer
+
+        image_mod.RESOLUTION_MAPPINGS[43] = {1.5: (42, 28)}
+        srv = InferenceServer(engine, host="127.0.0.1", port=0,
+                              resolution_set=43).start(warmup_views=0)
+        try:
+            rng = np.random.default_rng(2)
+            imgs = rng.uniform(0, 1, size=(2, H, W, 3)).astype(np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, images=imgs,
+                     is_metric_scale=np.asarray([True, True]))
+            req = urllib.request.Request(
+                f"http://{srv.host}:{srv.port}/v1/infer",
+                data=buf.getvalue(), method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=300) as r:
+                out = dict(np.load(io.BytesIO(r.read())))
+            assert np.isfinite(out["pts3d"]).all()
+        finally:
+            srv.stop()
+            del image_mod.RESOLUTION_MAPPINGS[43]
