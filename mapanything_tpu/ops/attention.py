@@ -61,12 +61,12 @@ def sdpa(
         # the token axis sharded over "<axis>" ("ring" => "model"). Lets a
         # trunk built from the same Blocks span its global attention across
         # a mesh axis (ops/ring_attention.py).
-        from .ring_attention import ring_flash_attention
+        from .ring_attention import ring_flash_attention_trainable
 
         axis = impl.split(":", 1)[1] if ":" in impl else "model"
-        return ring_flash_attention(
-            q, k, v, axis_name=axis,
-            interpret=jax.default_backend() != "tpu",
+        return ring_flash_attention_trainable(
+            q, k, v, axis,
+            jax.default_backend() != "tpu",
         )
     raise ValueError(f"unknown attention impl: {impl}")
 

@@ -288,3 +288,159 @@ def ring_sdpa(
     except TypeError:  # older jax spells it check_rep
         fn = shard_map(body, check_rep=False, **kwargs)
     return fn(q, k, v)
+
+
+# ---------------------------------------------------------------------------
+# Training: ring backward (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _tile_rows(x_user, b, h, n_pad, block_q):
+    """(B, N, H) user-layout row stats -> the (bh, nq, 8, block_q) tiling
+    the backward kernels consume (flash_attention_bwd._bwd)."""
+    x = jnp.swapaxes(x_user, 1, 2).reshape(b * h, x_user.shape[1])
+    if x.shape[1] != n_pad:
+        x = jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1])))
+    x = x.reshape(b * h, n_pad // block_q, 1, block_q)
+    return jnp.broadcast_to(x, (b * h, n_pad // block_q, 8, block_q))
+
+
+def _pair_bwd(q, k, v, g, lse2, delta, interpret: bool = False):
+    """Per-(q shard, kv shard) flash backward with GLOBAL row stats.
+
+    Runs the production dq/dkv kernels (flash_attention_bwd) for one pair:
+    because the probabilities are recomputed from the full-sequence lse
+    (base-2 `m + log2(l)`), the pair gradients are exact partials that sum
+    across kv shards (dq) / q shards (dk, dv) — the ring backward's merge
+    is plain addition, no softmax renormalization.
+
+    q, g: (B, Nq, H, D); k, v: (B, Nk, H, D); lse2, delta: (B, Nq, H).
+    Returns (dq, dk, dv) in user layout.
+    """
+    from .flash_attention_bwd import _dkv_kernel, _dq_kernel, _prep
+
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = d**-0.5
+    block_q = pick_block(n, 1024)
+    block_k = pick_block(kv_len, min(1024, 2**20 // block_q))
+    n_pad = _round_up(n, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+
+    qb = _prep(q, n_pad, b, h, d)
+    kb = _prep(k, kv_pad, b, h, d)
+    vb = _prep(v, kv_pad, b, h, d)
+    gb = _prep(g, n_pad, b, h, d)
+    lse_t = _tile_rows(lse2, b, h, n_pad, block_q)
+    delta_t = _tile_rows(delta, b, h, n_pad, block_q)
+
+    bh, nq, nk = b * h, n_pad // block_q, kv_pad // block_k
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, q_len=n, kv_len=kv_len,
+                          block_q=block_q, block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda bh, j, i: (bh, i, 0, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda bh, j, i: (bh, i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, kv_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb, gb, lse_t, delta_t)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, q_len=n, kv_len=kv_len,
+                          block_q=block_q, block_k=block_k),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda bh, i, j: (bh, i, 0, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda bh, i, j: (bh, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda bh, i, j: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(qb, kb, gb, vb, lse_t, delta_t)
+
+    def unprep(x, orig_len):
+        x = x[:, :orig_len].reshape(b, h, orig_len, d)
+        return jnp.swapaxes(x, 1, 2)
+
+    return unprep(dq, n), unprep(dk, kv_len), unprep(dv, kv_len)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ring_flash_attention_trainable(q, k, v, axis_name: str,
+                                   interpret: bool = False):
+    """`ring_flash_attention` with a ring backward — sequence-parallel
+    attention usable in TRAINING graphs.
+
+    Backward: each device keeps its q/do and the saved full-sequence lse
+    resident, accumulates dq locally, and circulates (k, v, dk, dv)
+    together around the ring — after p steps every k/v shard arrives home
+    carrying its complete gradient. Per-device backward memory stays
+    O(N/p · D), the same scaling as the forward.
+    """
+    return ring_flash_attention(q, k, v, axis_name, interpret=interpret)
+
+
+def _ring_vjp_fwd(q, k, v, axis_name, interpret):
+    acc, m, l = ring_flash_stats(q, k, v, axis_name, interpret=interpret)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    out = (acc / safe_l[..., None]).astype(q.dtype)
+    lse2 = m + jnp.log2(safe_l)  # (B, N/p, H) base-2, FULL-sequence
+    return out, (q, k, v, out, lse2)
+
+
+def _ring_vjp_bwd(axis_name, interpret, res, g):
+    q, k, v, out, lse2 = res
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # (B, N/p, H)
+    p = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def step(_, carry):
+        kc, vc, dkc, dvc, dq = carry
+        dq_p, dk_p, dv_p = _pair_bwd(q, kc, vc, g, lse2, delta,
+                                     interpret=interpret)
+        dq = dq + dq_p.astype(dq.dtype)
+        dkc = dkc + dk_p.astype(dkc.dtype)
+        dvc = dvc + dv_p.astype(dvc.dtype)
+        # rotate the kv shard WITH its gradient accumulators: after p
+        # rotations each shard is home with its complete dk/dv
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        dkc = jax.lax.ppermute(dkc, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        return kc, vc, dkc, dvc, dq
+
+    init = (k, v, jnp.zeros_like(k, jnp.float32),
+            jnp.zeros_like(v, jnp.float32), jnp.zeros_like(q, jnp.float32))
+    _, _, dk, dv, dq = jax.lax.fori_loop(0, p, step, init)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_flash_attention_trainable.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
