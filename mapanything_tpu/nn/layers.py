@@ -212,6 +212,7 @@ class _RingAttention(nn.Module):
         from ..ops.ring_attention import (
             _merge,
             attention_stats,
+            ring_flash_attention_trainable,
             ring_flash_stats,
         )
 
@@ -249,16 +250,19 @@ class _RingAttention(nn.Module):
                 qt = qt * factor
 
         # ---- patch rows: ring over all patches + replicated extra tokens
+        if not t:
+            # no extra tokens (use_scale_token=False ablations): the
+            # trainable ring applies directly, so this path supports
+            # sequence-parallel TRAINING as well as inference
+            out_x = ring_flash_attention_trainable(
+                qx, kx, vx, self.axis_name, self.interpret)
+            return proj(out_x.reshape(b, nl, self.dim)), tok
         acc, m, l = ring_flash_stats(qx, kx, vx, self.axis_name,
                                      interpret=self.interpret)
-        if t:
-            acc2, m2, l2 = attention_stats(qx, kt, vt)
-            acc, m, l = _merge(acc, m, l, acc2, m2, l2)
+        acc2, m2, l2 = attention_stats(qx, kt, vt)
+        acc, m, l = _merge(acc, m, l, acc2, m2, l2)
         out_x = (acc / jnp.where(l == 0.0, 1.0, l)[..., None]).astype(x.dtype)
         out_x = proj(out_x.reshape(b, nl, self.dim))
-
-        if not t:
-            return out_x, tok
 
         # ---- extra-token rows: gather per-shard partial stats (replicated
         # result on every shard)

@@ -336,3 +336,62 @@ class TestRingBackward:
         np.testing.assert_allclose(
             np.asarray(jnp.concatenate([dv_a, dv_b], axis=1)),
             np.asarray(dv_full), rtol=2e-4, atol=2e-5)
+
+
+class TestRingGlobalBlockTraining:
+    """The no-extra-token RingGlobalBlock path (use_scale_token=False
+    ablations) is differentiable: param gradients under the ring match the
+    plain Block's."""
+
+    def test_block_grads_match(self):
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from mapanything_tpu.nn.layers import Block, RingGlobalBlock
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(n_data=1, n_model=8)
+
+        dim, heads, n = 64, 2, 512
+        rng = np.random.default_rng(10)
+        x = jnp.asarray(rng.normal(size=(1, n, dim)).astype(np.float32))
+        tok = jnp.zeros((1, 0, dim), jnp.float32)
+
+        plain = Block(dim, heads, dtype=jnp.float32, attn_impl="xla")
+        params = plain.init(jax.random.PRNGKey(0), x)
+
+        def plain_loss(p, x):
+            return jnp.sum(plain.apply(p, x) ** 2)
+
+        ref = jax.grad(plain_loss)(params, x)
+
+        ring_blk = RingGlobalBlock(dim, heads, axis_name="model",
+                                   dtype=jnp.float32, interpret=True)
+
+        def local_loss(p, xl, tl):
+            out_x, _ = ring_blk.apply(p, xl, tl)
+            return jax.lax.psum(jnp.sum(out_x ** 2), "model")
+
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(P(), P(None, "model", None), P()),
+            out_specs=P(),
+        )
+        try:
+            fn = shard_map(local_loss, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(local_loss, check_rep=False, **kwargs)
+        got = jax.grad(fn)(params, x, tok)
+
+        flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+        for path, leaf in flat_ref:
+            np.testing.assert_allclose(
+                np.asarray(flat_got[path]), np.asarray(leaf),
+                rtol=5e-3, atol=5e-4,
+                err_msg="/".join(str(k) for k in path),
+            )
