@@ -213,7 +213,7 @@ class _RingAttention(nn.Module):
             _merge,
             attention_stats,
             ring_flash_attention_trainable,
-            ring_flash_stats,
+            ring_flash_attention_with_lse,
         )
 
         b, nl, c = x.shape
@@ -257,11 +257,21 @@ class _RingAttention(nn.Module):
             out_x = ring_flash_attention_trainable(
                 qx, kx, vx, self.axis_name, self.interpret)
             return proj(out_x.reshape(b, nl, self.dim)), tok
-        acc, m, l = ring_flash_stats(qx, kx, vx, self.axis_name,
-                                     interpret=self.interpret)
-        acc2, m2, l2 = attention_stats(qx, kt, vt)
-        acc, m, l = _merge(acc, m, l, acc2, m2, l2)
-        out_x = (acc / jnp.where(l == 0.0, 1.0, l)[..., None]).astype(x.dtype)
+        # differentiable merge of the ring output with the replicated
+        # extra-token contribution: 2^lse_p is the ring side's softmax
+        # weight mass, (m_t, l_t, acc_t) the tokens' exact stats — so the
+        # whole scale-token global layer TRAINS sequence-parallel
+        out_p, lse_p = ring_flash_attention_with_lse(
+            qx, kx, vx, self.axis_name, self.interpret)
+        acc_t, m_t, l_t = attention_stats(qx, kt, vt)
+        m_tot = jnp.maximum(lse_p, m_t)
+        w_p = jnp.exp2(lse_p - m_tot)
+        w_t = jnp.exp2(m_t - m_tot)
+        out_x = (
+            (out_p.astype(jnp.float32) * w_p[..., None]
+             + acc_t * w_t[..., None])
+            / (w_p + l_t * w_t)[..., None]
+        ).astype(x.dtype)
         out_x = proj(out_x.reshape(b, nl, self.dim))
 
         # ---- extra-token rows: gather per-shard partial stats (replicated

@@ -444,3 +444,90 @@ def _ring_vjp_bwd(axis_name, interpret, res, g):
 
 
 ring_flash_attention_trainable.defvjp(_ring_vjp_fwd, _ring_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def ring_flash_attention_with_lse(q, k, v, axis_name: str,
+                                  interpret: bool = False):
+    """Trainable ring attention that ALSO returns the base-2 row
+    log-sum-exp — the primitive the scale-token merge needs.
+
+    The extra-token merge (nn/layers._RingAttention) weights the ring
+    output by 2^lse against the tokens' own exact stats; training through
+    that merge needs d(out)/d(lse) too, so this variant's VJP accepts
+    cotangents for BOTH outputs. The lse cotangent decomposes into the
+    same kernel patterns the standard backward uses:
+
+        dq_i += g_i · c · Σ_j p_ij k_j        (stats kernel with V := K)
+        dk_j += c · Σ_i g_i p_ij q_i          (dkv kernel's dV arm with
+                                               dO := g·q·c, delta := 0)
+
+    with p recomputed from the saved full-sequence lse, so pair partials
+    again sum exactly across shards.
+    """
+    out, _ = _ring_with_lse_fwd_impl(q, k, v, axis_name, interpret)
+    return out
+
+
+def _ring_with_lse_fwd_impl(q, k, v, axis_name, interpret):
+    acc, m, l = ring_flash_stats(q, k, v, axis_name, interpret=interpret)
+    safe_l = jnp.where(l == 0.0, 1.0, l)
+    out = (acc / safe_l[..., None]).astype(q.dtype)
+    lse2 = m + jnp.log2(safe_l)
+    return (out, lse2), (q, k, v, out, lse2)
+
+
+def _ring_with_lse_vjp_fwd(q, k, v, axis_name, interpret):
+    return _ring_with_lse_fwd_impl(q, k, v, axis_name, interpret)
+
+
+def _ring_with_lse_vjp_bwd(axis_name, interpret, res, g):
+    q, k, v, out, lse2 = res
+    g_out, g_lse = g
+    g_out = jnp.zeros_like(out) if g_out is None else g_out
+    g_lse = jnp.zeros_like(lse2) if g_lse is None else g_lse
+    d = q.shape[-1]
+    c2 = d**-0.5 * 1.4426950408889634  # base-2 logit scale
+
+    delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)
+    zeros_rows = jnp.zeros_like(delta)
+    # dO substitute for the lse part: Σ_i p_ij (g_i c q_i) = dk_extra_j
+    do_lse = (g_lse[..., None] * q.astype(jnp.float32) * c2).astype(q.dtype)
+
+    p = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % p) for i in range(p)]
+
+    def step(_, carry):
+        kc, vc, dkc, dvc, dq = carry
+        # standard output-cotangent part
+        dq_p, dk_p, dv_p = _pair_bwd(q, kc, vc, g_out, lse2, delta,
+                                     interpret=interpret)
+        # lse-cotangent part, dk: dV arm with substituted dO (delta = 0
+        # kills the ds term feeding the discarded dk output)
+        _, _, dk_lse = _pair_bwd(q, kc, kc, do_lse, lse2, zeros_rows,
+                                 interpret=interpret)
+        # lse-cotangent part, dq: Σ_j p_ij k_j = stats(q, kc, V:=kc)
+        # rescaled from the pair max to the global lse
+        acc_k, m_pair, _ = flash_attention_stats(q, kc, kc,
+                                                 interpret=interpret)
+        pk = acc_k * jnp.exp2(m_pair - lse2)[..., None]
+        dq_lse = g_lse[..., None] * c2 * pk
+
+        dq = dq + dq_p.astype(dq.dtype) + dq_lse
+        dkc = dkc + dk_p.astype(dkc.dtype) + dk_lse.astype(dkc.dtype)
+        dvc = dvc + dv_p.astype(dvc.dtype)
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        dkc = jax.lax.ppermute(dkc, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+        return kc, vc, dkc, dvc, dq
+
+    init = (k, v, jnp.zeros_like(k, jnp.float32),
+            jnp.zeros_like(v, jnp.float32), jnp.zeros_like(q, jnp.float32))
+    _, _, dk, dv, dq = jax.lax.fori_loop(0, p, step, init)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+ring_flash_attention_with_lse.defvjp(_ring_with_lse_vjp_fwd,
+                                     _ring_with_lse_vjp_bwd)

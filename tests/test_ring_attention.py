@@ -395,3 +395,124 @@ class TestRingGlobalBlockTraining:
                 rtol=5e-3, atol=5e-4,
                 err_msg="/".join(str(k) for k in path),
             )
+
+
+class TestRingWithLse:
+    """The lse-returning trainable ring: BOTH outputs' cotangents must
+    flow — this is the primitive behind scale-token sequence-parallel
+    training."""
+
+    def test_out_and_lse_grads_match_jnp(self):
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from mapanything_tpu.ops.ring_attention import (
+            ring_flash_attention_with_lse,
+        )
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(n_data=1, n_model=8)
+        q, k, v = _qkv(b=1, n=512, h=2, d=64, seed=11)
+        c2 = 64**-0.5 * 1.4426950408889634
+
+        def ref_loss(q, k, v):
+            s = jnp.einsum("bnhd,bmhd->bhnm", q, k) * c2
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1)
+            out = jnp.einsum("bhnm,bmhd->bnhd", p / l[..., None], v)
+            lse = jnp.swapaxes(m[..., 0] + jnp.log2(l), 1, 2)  # (B,N,H)
+            return jnp.sum(out**2) + jnp.sum(jnp.sin(lse))
+
+        spec = P(None, "model", None, None)
+        row_spec = P(None, "model", None)
+
+        def local(qs, ks, vs):
+            out, lse = ring_flash_attention_with_lse(qs, ks, vs, "model",
+                                                     True)
+            return jax.lax.psum(
+                jnp.sum(out.astype(jnp.float32) ** 2)
+                + jnp.sum(jnp.sin(lse)), "model")
+
+        kwargs = dict(mesh=mesh, in_specs=(spec,) * 3, out_specs=P())
+        try:
+            ring = shard_map(local, check_vma=False, **kwargs)
+        except TypeError:
+            ring = shard_map(local, check_rep=False, **kwargs)
+        del row_spec
+
+        got = jax.grad(ring, argnums=(0, 1, 2))(q, k, v)
+        ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+        for g, r, name in zip(got, ref, ("dq", "dk", "dv")):
+            assert np.isfinite(np.asarray(g)).all(), name
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(r), rtol=5e-3, atol=5e-4,
+                err_msg=name,
+            )
+
+
+class TestRingGlobalBlockTokenTraining:
+    """The scale-token RingGlobalBlock path trains too: param gradients
+    under the ring match the plain Block on the concatenated
+    [patches; tok] sequence."""
+
+    def test_block_grads_match_with_token(self):
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from mapanything_tpu.nn.layers import Block, RingGlobalBlock
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(n_data=1, n_model=8)
+
+        dim, heads, n = 64, 2, 512
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.normal(size=(1, n, dim)).astype(np.float32))
+        tok = jnp.asarray(rng.normal(size=(1, 1, dim)).astype(np.float32))
+        flat = jnp.concatenate([x, tok], axis=1)
+
+        plain = Block(dim, heads, dtype=jnp.float32, attn_impl="xla")
+        params = plain.init(jax.random.PRNGKey(0), flat)
+
+        def plain_loss(p):
+            out = plain.apply(p, flat)
+            return jnp.sum(out[:, :n] ** 2) + jnp.sum(out[:, n:] ** 2)
+
+        ref = jax.grad(plain_loss)(params)
+
+        ring_blk = RingGlobalBlock(dim, heads, axis_name="model",
+                                   dtype=jnp.float32, interpret=True)
+
+        def local_loss(p, xl, tl):
+            out_x, out_t = ring_blk.apply(p, xl, tl)
+            # tok output is replicated: count it once (divide by p)
+            ring = jax.lax.psum(1, "model")
+            return jax.lax.psum(
+                jnp.sum(out_x ** 2) + jnp.sum(out_t ** 2) / ring, "model")
+
+        kwargs = dict(
+            mesh=mesh,
+            in_specs=(P(), P(None, "model", None), P()),
+            out_specs=P(),
+        )
+        try:
+            fn = shard_map(local_loss, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(local_loss, check_rep=False, **kwargs)
+        got = jax.grad(fn)(params, x, tok)
+
+        flat_got = dict(jax.tree_util.tree_leaves_with_path(got))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(ref):
+            np.testing.assert_allclose(
+                np.asarray(flat_got[path]), np.asarray(leaf),
+                rtol=5e-3, atol=5e-4,
+                err_msg="/".join(str(kk) for kk in path),
+            )
