@@ -300,6 +300,14 @@ class RingGlobalBlock(nn.Module):
     instantiated once and applied to both the local patch shard and the
     replicated extra tokens (elementwise, so sharding is transparent);
     only attention needs the ring.
+
+    TRAINING CONTRACT for the extra tokens: `tok` (and its output) is
+    REPLICATED — every shard computes the identical token rows. A loss
+    that psums a per-shard term involving the token output therefore
+    counts it ring-size times; divide that term by
+    ``jax.lax.psum(1, axis_name)`` (the patch-shard terms are genuinely
+    per-shard and need no correction). See
+    tests/test_ring_attention.py::TestRingGlobalBlockTokenTraining.
     """
 
     dim: int

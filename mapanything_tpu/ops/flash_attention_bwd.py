@@ -284,23 +284,14 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
                                              kv_pad, block_q, block_k))
 
 
-def _bwd(res, g):
-    qb, kb, vb, ob, lse, meta = res
-    b, n, h, d, kv_len, n_pad, kv_pad, block_q, block_k = meta
-    scale = d**-0.5
-    gb = _prep(g, n_pad, b, h, d)
-    delta = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
-    # tile delta like lse: (bh, nq, 8, block_q)
-    delta = jnp.broadcast_to(
-        delta.reshape(b * h, n_pad // block_q, 1, block_q),
-        (b * h, n_pad // block_q, 8, block_q),
-    )
-
-    bh = b * h
-    nq = n_pad // block_q
-    nk = kv_pad // block_k
-
-    dk, dv = pl.pallas_call(
+def _run_dkv(qb, kb, vb, gb, lse, delta, *, scale, n, kv_len, d,
+             block_q, block_k, out_dtype, interpret=False):
+    """dK/dV pallas invocation on prepped (bh, ., d) arrays — shared by the
+    single-device backward and the ring backward's per-pair partials."""
+    bh, n_pad = qb.shape[0], qb.shape[1]
+    kv_pad = kb.shape[1]
+    nq, nk = n_pad // block_q, kv_pad // block_k
+    return pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, q_len=n, kv_len=kv_len,
                           block_q=block_q, block_k=block_k),
         grid=(bh, nk, nq),
@@ -317,16 +308,27 @@ def _bwd(res, g):
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, kv_pad, d), qb.dtype),
-            jax.ShapeDtypeStruct((bh, kv_pad, d), qb.dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((bh, kv_pad, d), out_dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
             pltpu.VMEM((block_k, d), jnp.float32),
         ],
+        # only pass interpret when set: tests monkeypatch pl.pallas_call
+        # with a partial(interpret=True) that an explicit False would
+        # override
+        **({"interpret": True} if interpret else {}),
     )(qb, kb, vb, gb, lse, delta)
 
-    dq = pl.pallas_call(
+
+def _run_dq(qb, kb, vb, gb, lse, delta, *, scale, n, kv_len, d,
+            block_q, block_k, out_dtype, interpret=False):
+    """dQ pallas invocation on prepped arrays (see _run_dkv)."""
+    bh, n_pad = qb.shape[0], qb.shape[1]
+    kv_pad = kb.shape[1]
+    nq, nk = n_pad // block_q, kv_pad // block_k
+    return pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, q_len=n, kv_len=kv_len,
                           block_q=block_q, block_k=block_k),
         grid=(bh, nq, nk),
@@ -339,9 +341,30 @@ def _bwd(res, g):
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), qb.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), out_dtype),
         scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        **({"interpret": True} if interpret else {}),
     )(qb, kb, gb, vb, lse, delta)
+
+
+def _bwd(res, g):
+    qb, kb, vb, ob, lse, meta = res
+    b, n, h, d, kv_len, n_pad, kv_pad, block_q, block_k = meta
+    scale = d**-0.5
+    gb = _prep(g, n_pad, b, h, d)
+    delta = jnp.sum(gb.astype(jnp.float32) * ob.astype(jnp.float32), axis=-1)
+    # tile delta like lse: (bh, nq, 8, block_q)
+    delta = jnp.broadcast_to(
+        delta.reshape(b * h, n_pad // block_q, 1, block_q),
+        (b * h, n_pad // block_q, 8, block_q),
+    )
+
+    dk, dv = _run_dkv(qb, kb, vb, gb, lse, delta, scale=scale, n=n,
+                      kv_len=kv_len, d=d, block_q=block_q, block_k=block_k,
+                      out_dtype=qb.dtype)
+    dq = _run_dq(qb, kb, vb, gb, lse, delta, scale=scale, n=n,
+                 kv_len=kv_len, d=d, block_q=block_q, block_k=block_k,
+                 out_dtype=qb.dtype)
 
     def unprep(x, orig_len):
         x = x[:, :orig_len].reshape(b, h, orig_len, d)

@@ -304,25 +304,35 @@ def _tile_rows(x_user, b, h, n_pad, block_q):
     return jnp.broadcast_to(x, (b * h, n_pad // block_q, 8, block_q))
 
 
+def _pair_blocks(n, kv_len):
+    """VMEM-safe block sizes for one backward pair (mirrors the caps in
+    flash_attention_bwd: block_q <= 1024, tile area <= 2^20)."""
+    block_q = pick_block(n, 1024)
+    block_k = pick_block(kv_len, min(1024, 2**20 // block_q))
+    return block_q, block_k
+
+
 def _pair_bwd(q, k, v, g, lse2, delta, interpret: bool = False):
     """Per-(q shard, kv shard) flash backward with GLOBAL row stats.
 
-    Runs the production dq/dkv kernels (flash_attention_bwd) for one pair:
-    because the probabilities are recomputed from the full-sequence lse
-    (base-2 `m + log2(l)`), the pair gradients are exact partials that sum
-    across kv shards (dq) / q shards (dk, dv) — the ring backward's merge
-    is plain addition, no softmax renormalization.
+    Runs the production dq/dkv kernels (via flash_attention_bwd._run_dq /
+    _run_dkv) for one pair: because the probabilities are recomputed from
+    the full-sequence lse (base-2 `m + log2(l)`), the pair gradients are
+    exact partials that sum across kv shards (dq) / q shards (dk, dv) —
+    the ring backward's merge is plain addition, no softmax
+    renormalization. Partials come back fp32 so the ring's cross-shard
+    accumulation rounds once at the very end, matching single-device
+    backward numerics.
 
     q, g: (B, Nq, H, D); k, v: (B, Nk, H, D); lse2, delta: (B, Nq, H).
-    Returns (dq, dk, dv) in user layout.
+    Returns (dq, dk, dv) fp32 in user layout.
     """
-    from .flash_attention_bwd import _dkv_kernel, _dq_kernel, _prep
+    from .flash_attention_bwd import _prep, _run_dkv, _run_dq
 
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = d**-0.5
-    block_q = pick_block(n, 1024)
-    block_k = pick_block(kv_len, min(1024, 2**20 // block_q))
+    block_q, block_k = _pair_blocks(n, kv_len)
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -333,63 +343,78 @@ def _pair_bwd(q, k, v, g, lse2, delta, interpret: bool = False):
     lse_t = _tile_rows(lse2, b, h, n_pad, block_q)
     delta_t = _tile_rows(delta, b, h, n_pad, block_q)
 
-    bh, nq, nk = b * h, n_pad // block_q, kv_pad // block_k
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, q_len=n, kv_len=kv_len,
-                          block_q=block_q, block_k=block_k),
-        grid=(bh, nk, nq),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda bh, j, i: (bh, i, 0, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda bh, j, i: (bh, i, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, kv_pad, d), q.dtype),
-            jax.ShapeDtypeStruct((bh, kv_pad, d), q.dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
-        interpret=interpret,
-    )(qb, kb, vb, gb, lse_t, delta_t)
-
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, q_len=n, kv_len=kv_len,
-                          block_q=block_q, block_k=block_k),
-        grid=(bh, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda bh, i, j: (bh, i, 0, 0)),
-            pl.BlockSpec((1, 1, 8, block_q),
-                         lambda bh, i, j: (bh, i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, block_q, d),
-                               lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
-        interpret=interpret,
-    )(qb, kb, gb, vb, lse_t, delta_t)
+    kw = dict(scale=scale, n=n, kv_len=kv_len, d=d, block_q=block_q,
+              block_k=block_k, out_dtype=jnp.float32, interpret=interpret)
+    dk, dv = _run_dkv(qb, kb, vb, gb, lse_t, delta_t, **kw)
+    dq = _run_dq(qb, kb, vb, gb, lse_t, delta_t, **kw)
 
     def unprep(x, orig_len):
         x = x[:, :orig_len].reshape(b, h, orig_len, d)
         return jnp.swapaxes(x, 1, 2)
 
     return unprep(dq, n), unprep(dk, kv_len), unprep(dv, kv_len)
+
+
+def _pt_do_kernel(q_ref, k_ref, do_ref, lse_ref, out_ref, acc,
+                  *, scale, block_q, block_k):
+    """out_j = sum_i p_ij do_i — the dV arm of _dkv_kernel alone. Used by
+    the lse-cotangent backward (dk += P^T (g*c*q)) without paying for the
+    discarded ds/dk matmuls."""
+    i = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc[:] = jnp.zeros_like(acc)
+
+    qs = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
+    s = jax.lax.dot_general(qs, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    p = jnp.exp2(s - lse_ref[0, 0, 0][:, None]).astype(s_dtype)
+    acc[:] = acc[:] + jax.lax.dot_general(
+        p, do_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        out_ref[0] = acc[:]
+
+
+def _pair_pt_do(q, k, do, lse2, interpret: bool = False):
+    """sum_i p_ij do_i per kv row, fp32 (B, Nk, H, D)."""
+    from .flash_attention_bwd import _prep
+
+    b, n, h, d = q.shape
+    kv_len = k.shape[1]
+    scale = d**-0.5
+    block_q, block_k = _pair_blocks(n, kv_len)
+    n_pad = _round_up(n, block_q)
+    kv_pad = _round_up(kv_len, block_k)
+    qb = _prep(q, n_pad, b, h, d)
+    kb = _prep(k, kv_pad, b, h, d)
+    dob = _prep(do, n_pad, b, h, d)
+    lse_t = _tile_rows(lse2, b, h, n_pad, block_q)
+
+    bh, nq, nk = b * h, n_pad // block_q, kv_pad // block_k
+    out = pl.pallas_call(
+        functools.partial(_pt_do_kernel, scale=scale, block_q=block_q,
+                          block_k=block_k),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),
+            pl.BlockSpec((1, 1, 8, block_q),
+                         lambda bh, j, i: (bh, i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, kv_pad, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32)],
+        interpret=interpret,
+    )(qb, kb, dob, lse_t)
+    out = out[:, :kv_len].reshape(b, h, kv_len, d)
+    return jnp.swapaxes(out, 1, 2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -422,13 +447,14 @@ def _ring_vjp_bwd(axis_name, interpret, res, g):
     p = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % p) for i in range(p)]
 
-    def step(_, carry):
-        kc, vc, dkc, dvc, dq = carry
+    def pair(kc, vc, dkc, dvc, dq):
         dq_p, dk_p, dv_p = _pair_bwd(q, kc, vc, g, lse2, delta,
                                      interpret=interpret)
-        dq = dq + dq_p.astype(dq.dtype)
-        dkc = dkc + dk_p.astype(dkc.dtype)
-        dvc = dvc + dv_p.astype(dvc.dtype)
+        return dkc + dk_p, dvc + dv_p, dq + dq_p
+
+    def step(_, carry):
+        kc, vc, dkc, dvc, dq = carry
+        dkc, dvc, dq = pair(kc, vc, dkc, dvc, dq)
         # rotate the kv shard WITH its gradient accumulators: after p
         # rotations each shard is home with its complete dk/dv
         kc = jax.lax.ppermute(kc, axis_name, perm)
@@ -439,7 +465,11 @@ def _ring_vjp_bwd(axis_name, interpret, res, g):
 
     init = (k, v, jnp.zeros_like(k, jnp.float32),
             jnp.zeros_like(v, jnp.float32), jnp.zeros_like(q, jnp.float32))
-    _, _, dk, dv, dq = jax.lax.fori_loop(0, p, step, init)
+    kc, vc, dkc, dvc, dq = jax.lax.fori_loop(0, p - 1, step, init)
+    # final pair: only dk/dv need the last hop home — k/v do not
+    dkc, dvc, dq = pair(kc, vc, dkc, dvc, dq)
+    dk = jax.lax.ppermute(dkc, axis_name, perm)
+    dv = jax.lax.ppermute(dvc, axis_name, perm)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
@@ -472,7 +502,9 @@ def ring_flash_attention_with_lse(q, k, v, axis_name: str,
 def _ring_with_lse_fwd_impl(q, k, v, axis_name, interpret):
     acc, m, l = ring_flash_stats(q, k, v, axis_name, interpret=interpret)
     safe_l = jnp.where(l == 0.0, 1.0, l)
-    out = (acc / safe_l[..., None]).astype(q.dtype)
+    # out stays fp32: the caller's merge re-weights it against the extra
+    # tokens' stats in fp32, so truncating here would add a rounding
+    out = acc / safe_l[..., None]
     lse2 = m + jnp.log2(safe_l)
     return (out, lse2), (q, k, v, out, lse2)
 
@@ -491,32 +523,29 @@ def _ring_with_lse_vjp_bwd(axis_name, interpret, res, g):
 
     delta = jnp.sum(g_out.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)
-    zeros_rows = jnp.zeros_like(delta)
     # dO substitute for the lse part: Σ_i p_ij (g_i c q_i) = dk_extra_j
     do_lse = (g_lse[..., None] * q.astype(jnp.float32) * c2).astype(q.dtype)
 
     p = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % p) for i in range(p)]
 
-    def step(_, carry):
-        kc, vc, dkc, dvc, dq = carry
+    def pair(kc, vc, dkc, dvc, dq):
         # standard output-cotangent part
         dq_p, dk_p, dv_p = _pair_bwd(q, kc, vc, g_out, lse2, delta,
                                      interpret=interpret)
-        # lse-cotangent part, dk: dV arm with substituted dO (delta = 0
-        # kills the ds term feeding the discarded dk output)
-        _, _, dk_lse = _pair_bwd(q, kc, kc, do_lse, lse2, zeros_rows,
-                                 interpret=interpret)
+        # lse-cotangent part, dk: dV-arm-only kernel with substituted dO
+        dk_lse = _pair_pt_do(q, kc, do_lse, lse2, interpret=interpret)
         # lse-cotangent part, dq: Σ_j p_ij k_j = stats(q, kc, V:=kc)
         # rescaled from the pair max to the global lse
         acc_k, m_pair, _ = flash_attention_stats(q, kc, kc,
                                                  interpret=interpret)
         pk = acc_k * jnp.exp2(m_pair - lse2)[..., None]
         dq_lse = g_lse[..., None] * c2 * pk
+        return dkc + dk_p + dk_lse, dvc + dv_p, dq + dq_p + dq_lse
 
-        dq = dq + dq_p.astype(dq.dtype) + dq_lse
-        dkc = dkc + dk_p.astype(dkc.dtype) + dk_lse.astype(dkc.dtype)
-        dvc = dvc + dv_p.astype(dvc.dtype)
+    def step(_, carry):
+        kc, vc, dkc, dvc, dq = carry
+        dkc, dvc, dq = pair(kc, vc, dkc, dvc, dq)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
         dkc = jax.lax.ppermute(dkc, axis_name, perm)
@@ -525,7 +554,11 @@ def _ring_with_lse_vjp_bwd(axis_name, interpret, res, g):
 
     init = (k, v, jnp.zeros_like(k, jnp.float32),
             jnp.zeros_like(v, jnp.float32), jnp.zeros_like(q, jnp.float32))
-    _, _, dk, dv, dq = jax.lax.fori_loop(0, p, step, init)
+    kc, vc, dkc, dvc, dq = jax.lax.fori_loop(0, p - 1, step, init)
+    # final pair: only dk/dv need the last hop home — k/v do not
+    dkc, dvc, dq = pair(kc, vc, dkc, dvc, dq)
+    dk = jax.lax.ppermute(dkc, axis_name, perm)
+    dv = jax.lax.ppermute(dvc, axis_name, perm)
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

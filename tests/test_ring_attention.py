@@ -429,7 +429,6 @@ class TestRingWithLse:
             return jnp.sum(out**2) + jnp.sum(jnp.sin(lse))
 
         spec = P(None, "model", None, None)
-        row_spec = P(None, "model", None)
 
         def local(qs, ks, vs):
             out, lse = ring_flash_attention_with_lse(qs, ks, vs, "model",
@@ -443,7 +442,6 @@ class TestRingWithLse:
             ring = shard_map(local, check_vma=False, **kwargs)
         except TypeError:
             ring = shard_map(local, check_rep=False, **kwargs)
-        del row_spec
 
         got = jax.grad(ring, argnums=(0, 1, 2))(q, k, v)
         ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
