@@ -571,6 +571,16 @@ class MapAnything(nn.Module):
             if rng is not None
             else [None] * 8
         )
+        if rng is not None and cfg.trunk_seq_axis:
+            # sequence-parallel training: per-(sample, view) draws must be
+            # INDEPENDENT across view shards (fold the shard index), while
+            # per-sample (B, 1) draws stay identical on every shard (same
+            # key). keys: 1=view dropout, 5=sparse-depth pixels,
+            # 6=depth norm_all, 7=pose norm_all — all (B, V)/pixel shaped.
+            shard = jax.lax.axis_index(cfg.trunk_seq_axis)
+            keys = list(keys)
+            for ki in (1, 5, 6, 7):
+                keys[ki] = jax.random.fold_in(keys[ki], shard)
 
         # Masks mirror model.py:1155-1201: overall and per-modality masks are
         # drawn per sample (shared across views); dropout per (sample, view).

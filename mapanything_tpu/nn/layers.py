@@ -276,10 +276,14 @@ class _RingAttention(nn.Module):
 
         # ---- extra-token rows: gather per-shard partial stats (replicated
         # result on every shard)
+        from ..ops.collectives import all_gather_grad_correct
+
         acc_l, m_l, l_l = attention_stats(qt, kx, vx)  # vs LOCAL patches
-        g_acc = jax.lax.all_gather(acc_l, self.axis_name)  # (p, B, T, H, D)
-        g_m = jax.lax.all_gather(m_l, self.axis_name)
-        g_l = jax.lax.all_gather(l_l, self.axis_name)
+        # transpose-correct gathers: every shard consumes every slot, so
+        # the backward must psum the gathered cotangents (collectives.py)
+        g_acc = all_gather_grad_correct(acc_l, self.axis_name)  # (p,B,T,H,D)
+        g_m = all_gather_grad_correct(m_l, self.axis_name)
+        g_l = all_gather_grad_correct(l_l, self.axis_name)
         acc_t, m_t, l_t = attention_stats(qt, kt, vt)  # self-attention
         for i in range(g_acc.shape[0]):
             acc_t, m_t, l_t = _merge(acc_t, m_t, l_t,
