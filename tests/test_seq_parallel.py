@@ -92,7 +92,7 @@ def _fake_preds(gt, seed):
 
 @pytest.mark.parametrize("use_normal_gm,pairwise", [
     (False, False),
-    (True, False),
+    pytest.param(True, False, marks=pytest.mark.slow),
     pytest.param(True, True, marks=pytest.mark.slow),
 ])
 def test_view_sharded_loss_matches_unsharded(use_normal_gm, pairwise):
@@ -150,9 +150,12 @@ def test_view_sharded_loss_matches_unsharded(use_normal_gm, pairwise):
         ref_sum("NonAmbiguousMaskLoss_mask_view"), rtol=5e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_view_sharded_train_step_matches_unsharded():
     """Full train step: loss AND parameter gradients match the
-    single-device step (deterministic geom, all priors)."""
+    single-device step (deterministic geom, all priors). Slow-marked:
+    ~2 min of interpret-mode ring backwards on this 1-core box; the
+    default path keeps the loss parity + stochastic-step coverage."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
     mesh = make_mesh(n_data=1, n_model=8)
