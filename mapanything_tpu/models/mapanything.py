@@ -358,10 +358,21 @@ class MapAnything(nn.Module):
             # randomized non-ref view indices at train time
             # (aat_ifr_24_layers_w_view_pe.yaml use_rand_idx_pe_for_non_ref)
             idx_rng = jax.random.fold_in(rng, 101)
-            rand_idx = jax.random.randint(
-                idx_rng, (b, v), 1, trunk.max_views_for_pe
-            )
-            view_indices = rand_idx.at[:, 0].set(0)
+            if cfg.trunk_seq_axis:
+                # per-view draws must differ across view shards, and ONLY
+                # the global view 0 gets the reference PE index
+                shard = jax.lax.axis_index(cfg.trunk_seq_axis)
+                idx_rng = jax.random.fold_in(idx_rng, shard)
+                rand_idx = jax.random.randint(
+                    idx_rng, (b, v), 1, trunk.max_views_for_pe
+                )
+                is_g0 = (shard * v + jnp.arange(v)) == 0
+                view_indices = jnp.where(is_g0[None, :], 0, rand_idx)
+            else:
+                rand_idx = jax.random.randint(
+                    idx_rng, (b, v), 1, trunk.max_views_for_pe
+                )
+                view_indices = rand_idx.at[:, 0].set(0)
 
         final, intermediates, scale_tok_out = trunk(
             fused.astype(cfg.dtype), tok, view_indices=view_indices
@@ -574,12 +585,14 @@ class MapAnything(nn.Module):
         if rng is not None and cfg.trunk_seq_axis:
             # sequence-parallel training: per-(sample, view) draws must be
             # INDEPENDENT across view shards (fold the shard index), while
-            # per-sample (B, 1) draws stay identical on every shard (same
-            # key). keys: 1=view dropout, 5=sparse-depth pixels,
-            # 6=depth norm_all, 7=pose norm_all — all (B, V)/pixel shaped.
+            # per-sample (B,)/(B, 1) draws stay identical on every shard
+            # (same key). keys: 1=view dropout, 6=depth norm_all,
+            # 7=pose norm_all — (B, V) shaped. key 5 is split at its use
+            # site: its scalar use_sparse gate stays per-sample (unfolded)
+            # and only the per-pixel subkey folds.
             shard = jax.lax.axis_index(cfg.trunk_seq_axis)
             keys = list(keys)
-            for ki in (1, 5, 6, 7):
+            for ki in (1, 6, 7):
                 keys[ki] = jax.random.fold_in(keys[ki], shard)
 
         # Masks mirror model.py:1155-1201: overall and per-modality masks are
@@ -632,6 +645,13 @@ class MapAnything(nn.Module):
                 # (model.py:884-941); we use per-pixel Bernoulli — same
                 # expectation, static shapes.
                 k_use, k_px = jax.random.split(keys[5])
+                if cfg.trunk_seq_axis:
+                    # scalar gate stays per-sample; pixel draws fold the
+                    # shard so view shards sparsify independently
+                    k_px = jax.random.fold_in(
+                        k_px,
+                        jax.lax.axis_index(cfg.trunk_seq_axis),
+                    )
                 use_sparse = bernoulli(k_use, geom_cfg.sparse_depth_prob, ())
                 keep_px = (
                     jax.random.uniform(k_px, depth.shape)

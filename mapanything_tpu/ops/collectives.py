@@ -57,3 +57,18 @@ def _ag_bwd(axis_name, _, ct):
 
 
 all_gather_grad_correct.defvjp(_ag_fwd, _ag_bwd)
+
+
+def shard_map_compat(fn, **kwargs):
+    """shard_map with the rep/vma check off, across jax versions (the
+    pallas calls inside these graphs require the check off; gradient
+    correctness comes from the wrappers above — see train/seq_parallel.py).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    try:
+        return shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        return shard_map(fn, check_rep=False, **kwargs)

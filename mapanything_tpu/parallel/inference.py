@@ -26,14 +26,9 @@ from jax.sharding import PartitionSpec as P
 
 
 def _shard_map(body, **kwargs):
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-    try:
-        return shard_map(body, check_vma=False, **kwargs)
-    except TypeError:  # older jax spells it check_rep
-        return shard_map(body, check_rep=False, **kwargs)
+    from ..ops.collectives import shard_map_compat
+
+    return shard_map_compat(body, **kwargs)
 
 
 def view_sharded_forward(

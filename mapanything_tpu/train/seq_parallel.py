@@ -87,6 +87,15 @@ def view_sharded_overall_loss(
     fc = cfg.factored
     assert fc.norm_mode == "avg_dis", "released recipe uses avg_dis"
     assert fc.depth_type_for_loss == "depth_along_ray"
+    # the conf/exclude set selection below is hard-coded by NAME for the
+    # released set order; without the world-points set the flat indices
+    # would re-target different sets (criteria.py:1110 _select_flat)
+    assert fc.compute_world_frame_points_loss, (
+        "view_sharded_overall_loss implements the released recipe's set "
+        "selection (conf on pts3d, exclusion on cam_pts3d/depth); "
+        "compute_world_frame_points_loss=False re-targets the wrappers — "
+        "use the unsharded overall_loss or extend the selection here"
+    )
     criterion = RobustRegressionLoss(cfg.criterion_alpha,
                                      cfg.criterion_scaling_c)
     b, v, h, w, _ = gt["pts3d"].shape
@@ -364,10 +373,7 @@ def make_view_sharded_train_step(
         )
 
     def step(state, batch, rng):
-        try:
-            from jax import shard_map
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
+        from ..ops.collectives import shard_map_compat
 
         batch_specs = {"views": _shard_specs(batch["views"]),
                        "gt": _shard_specs(batch["gt"])}
@@ -376,15 +382,12 @@ def make_view_sharded_train_step(
         # per-shard SHARE, collectives on differentiated quantities use
         # the transpose-correct wrappers (ops/collectives.py), and the
         # parameter gradients are explicitly psummed above.
-        kwargs = dict(
+        fn = shard_map_compat(
+            local_grads,
             mesh=mesh,
             in_specs=(P(), batch_specs, P()),
             out_specs=(P(), P(), P()),
         )
-        try:
-            fn = shard_map(local_grads, check_vma=False, **kwargs)
-        except TypeError:
-            fn = shard_map(local_grads, check_rep=False, **kwargs)
         loss, details, grads = fn(state.params, batch, rng)
         new_state = state.apply_gradients(grads)
         metrics = {"loss": loss, **details}
