@@ -133,6 +133,8 @@ class TestViewShardedModel:
     translation norm are exercised; outputs must match the unsharded
     forward."""
 
+    @pytest.mark.slow  # ~60 s interpret-mode; the driver's dryrun sp
+    # phase runs the same all-priors parity on every driver invocation
     def test_matches_unsharded(self):
         from mapanything_tpu.data.synthetic import make_synthetic_batch
         from mapanything_tpu.models import (
@@ -356,7 +358,7 @@ class TestRingGlobalBlockTraining:
             pytest.skip("needs the 8-device CPU mesh")
         mesh = make_mesh(n_data=1, n_model=8)
 
-        dim, heads, n = 64, 2, 512
+        dim, heads, n = 64, 2, 256
         rng = np.random.default_rng(10)
         x = jnp.asarray(rng.normal(size=(1, n, dim)).astype(np.float32))
         tok = jnp.zeros((1, 0, dim), jnp.float32)
@@ -416,7 +418,7 @@ class TestRingWithLse:
         if len(jax.devices()) < 8:
             pytest.skip("needs the 8-device CPU mesh")
         mesh = make_mesh(n_data=1, n_model=8)
-        q, k, v = _qkv(b=1, n=512, h=2, d=64, seed=11)
+        q, k, v = _qkv(b=1, n=256, h=2, d=64, seed=11)
         c2 = 64**-0.5 * 1.4426950408889634
 
         def ref_loss(q, k, v):
@@ -458,6 +460,9 @@ class TestRingGlobalBlockTokenTraining:
     under the ring match the plain Block on the concatenated
     [patches; tok] sequence."""
 
+    @pytest.mark.slow  # ~2 min of interpret-mode ring backwards; the
+    # default path keeps TestRingWithLse (the underlying primitive's
+    # gradients) and the t=0 block training test
     def test_block_grads_match_with_token(self):
         try:
             from jax import shard_map
@@ -471,7 +476,7 @@ class TestRingGlobalBlockTokenTraining:
             pytest.skip("needs the 8-device CPU mesh")
         mesh = make_mesh(n_data=1, n_model=8)
 
-        dim, heads, n = 64, 2, 512
+        dim, heads, n = 64, 2, 256
         rng = np.random.default_rng(12)
         x = jnp.asarray(rng.normal(size=(1, n, dim)).astype(np.float32))
         tok = jnp.asarray(rng.normal(size=(1, 1, dim)).astype(np.float32))
