@@ -49,7 +49,36 @@ def _left() -> float:
     return DEADLINE_S - (time.time() - _T0)
 
 
+def _probe_device(timeout_s: float = 300.0) -> None:
+    """Fail FAST with a diagnostic if the TPU tunnel is down.
+
+    Backend init over the axon tunnel HANGS indefinitely when the remote
+    worker is dead (observed: a worker crash left jax.devices() blocked for
+    hours) — without this guard the bench would sit silent until the
+    driver's timeout and record nothing actionable. A healthy tunnel
+    completes first contact in well under 300 s.
+    """
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
+            "print(float((x @ x).sum()))")
+    try:
+        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print("# FATAL: TPU backend init timed out after "
+              f"{timeout_s:.0f}s — the axon tunnel / remote worker is "
+              "down; no metric can be measured", flush=True)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print("# FATAL: TPU probe failed: "
+              f"{e.stderr.decode(errors='replace')[-400:]}", flush=True)
+        sys.exit(2)
+
+
 def main():
+    _probe_device()
     # persistent XLA compile cache: repeat bench runs skip the long compiles
     try:
         cache_dir = os.path.expanduser("~/.cache/mapanything_tpu_xla")
