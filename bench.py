@@ -208,12 +208,6 @@ def main():
         ("p50_e2e_latency_multimodal_4view_ms", multimodal_cfg, False, 1, 4, 5),
         ("p50_e2e_latency_32view_ms", images_only, True, 1, 32, 3),
         ("p50_e2e_latency_100view_ms", images_only, True, 1, 100, 2),
-        # View-count ceiling demo (round-2 VERDICT item 2): the reference
-        # claims ~2000 views on a 140 GB GPU (README.md:132), which
-        # pro-rates to ~230 on this 16 GB chip; flash attention + chunked
-        # DPT make 256 feasible. OOM here is caught and reported, bounding
-        # the ceiling either way.
-        ("p50_e2e_latency_256view_ms", images_only, True, 1, 256, 1),
     ]
     for key, geom, mem_eff, bb, vv, iters in sweeps:
         if _left() < 120:
@@ -281,6 +275,33 @@ def main():
                   flush=True)
     else:
         print("# deadline: skipping train-step extra", flush=True)
+
+    # ---- view-count ceiling demo (round-2 VERDICT item 2) -----------------
+    # The reference claims ~2000 views on a 140 GB GPU (README.md:132),
+    # pro-rating to ~230 on this 16 GB chip. Probe a DESCENDING ladder and
+    # record the largest view count that fits; runs LAST because a
+    # RESOURCE_EXHAUSTED can leave the backend allocator poisoned for
+    # whatever compiles next (observed: the train-step extra OOMing after a
+    # failed 256-view probe).
+    import gc
+
+    for vv in (256, 224, 192, 160, 128):
+        if _left() < 120:
+            print(f"# deadline: skipping {vv}-view ceiling probe", flush=True)
+            break
+        try:
+            fn = build(images_only, memory_efficient=True)
+            vws = make_views(1, vv, h, w)
+            p50 = timed(fn, params, vws, iters=1)
+            extras[f"p50_e2e_latency_{vv}view_ms"] = round(p50 * 1000, 1)
+            extras["view_ceiling_per_chip"] = vv
+            print(f"# view ceiling: {vv} views, {p50 * 1000:.0f} ms",
+                  flush=True)
+            break
+        except Exception as e:
+            print(f"# {vv}-view probe failed: {type(e).__name__}", flush=True)
+            fn = vws = None
+            gc.collect()
 
     print(
         json.dumps(

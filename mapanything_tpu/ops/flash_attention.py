@@ -8,7 +8,7 @@ score matrix is never materialized: memory is O(N·D) while V·P tokens scale
 to the 10^5-10^6 range.
 
 Measured on TPU v5e (bf16, N=136900 = 100 views x 1369 patches, 16 heads,
-d=64): 1.15 s per attention at 67 TFLOP/s with the default blocks — the
+d=64): 0.98 s per attention at 78 TFLOP/s with the default blocks — the
 equivalent XLA attention would need ~1.2 TB for the score matrix.
 
 Layout: q, k, v are (B, N, H, D) (framework-native). The kernel runs on a
@@ -29,15 +29,14 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128  # min lane width for fp32 VMEM scratch
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
-                  *, scale: float, kv_len: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
+                  *, scale: float, kv_len: int, block_k: int, d: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # The (bq, bk) elementwise chain on the VPU — not the matmuls — is the
@@ -68,36 +67,43 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         s = s + bias
 
     m_prev = m_ref[:, :1]  # (bq, 1)
-    l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2((s.astype(jnp.float32) - m_new)).astype(s_dtype)
-    l_new = alpha * l_prev + jnp.sum(
-        p.astype(jnp.float32), axis=-1, keepdims=True
-    )
 
+    # V carries a ones column (d+1 wide), so the PV dot emits [pv | rowsum]
+    # and column d of the fp32 accumulator IS the running softmax sum — its
+    # recurrence (l_new = alpha*l_prev + sum(p)) is the same alpha-rescale
+    # the pv columns need, so one multiply-add covers both and the separate
+    # l scratch + (bq, bk) VPU reduction disappear.
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == nk - 1)
     def _finalize():
-        l = l_ref[:, :1]
+        l = acc_ref[:, d:d + 1]
         # guard fully-masked rows (only possible for padded q rows)
         safe_l = jnp.where(l == 0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:, :d] / safe_l).astype(o_ref.dtype)
 
 
 def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
-                        *, scale: float, kv_len: int):
+                        *, scale: float, kv_len: int, d: int):
     """Single k-block specialization: when the whole kv fits one block
     (every encoder / frame-attention call), the online-softmax carry
     (m/l scratch, init pass, rescale multiplies, broadcast writes) is pure
-    overhead — a plain one-shot softmax does strictly less VPU work."""
+    overhead — a plain one-shot softmax does strictly less VPU work.
+
+    The softmax row-sum rides the MXU: V arrives with a ones column
+    appended (d+1 wide), so the PV dot yields [acc | rowsum] in one op and
+    the VPU drops its (bq, bk) fp32 reduction. The PV tile is N=d=64
+    padded to 128 lanes either way, so the extra column is free MXU work
+    (measured +4% encoder shape, +11% trunk-global shape). Padded kv
+    columns contribute nothing to the sum: their p is exp2(-inf) = 0."""
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]
     # The softmax chain is VMEM-BANDWIDTH-bound on the (bq, bk) score
@@ -119,12 +125,12 @@ def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
     # intermediate and measures ~4% slower; the result rounds identically
     # (s - m is already bf16-quantized, exp2 output lands in [0, 1]).
     p = jnp.exp2(s - m)
-    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (acc / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
+    )  # (bq, d+1): last column is the softmax row sum
+    l = acc[:, d:d + 1]
+    o_ref[0] = (acc[:, :d] / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -192,28 +198,31 @@ def flash_attention(
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
-    def to_bh(x, target_len):
+    def to_bh(x, target_len, extra_ones=False):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
         if x.shape[1] != target_len:
             x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        if extra_ones:  # MXU row-sum column (see _flash_kernel_1pass)
+            ones = jnp.ones((b * h, target_len, 1), x.dtype)
+            x = jnp.concatenate([x, ones], axis=-1)
         return x
 
     qb = to_bh(q, n_pad)
     kb = to_bh(k, kv_pad)
-    vb = to_bh(v, kv_pad)
 
     if kv_pad == block_k:
         # single k-block: one-shot softmax, no carry scratch
+        vb = to_bh(v, kv_pad, extra_ones=True)
         grid = (b * h, n_pad // block_q)
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel_1pass, scale=scale, kv_len=kv_len
+                _flash_kernel_1pass, scale=scale, kv_len=kv_len, d=d
             ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, d + 1), lambda bh, i: (bh, 0, 0)),
             ],
             out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
             out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
@@ -222,23 +231,24 @@ def flash_attention(
         out = out[:, :n].reshape(b, h, n, d)
         return jnp.swapaxes(out, 1, 2)
 
+    vb = to_bh(v, kv_pad, extra_ones=True)
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k
+            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k, d=d
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda bh, i, j: (bh, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running sum
-            pltpu.VMEM((block_q, d), jnp.float32),  # output accumulator
+            # output accumulator; column d carries the running softmax sum
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
         interpret=interpret,
     )(qb, kb, vb)

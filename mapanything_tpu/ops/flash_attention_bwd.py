@@ -27,15 +27,14 @@ from .flash_attention import _LANES, _round_up, flash_attention, pick_block
 
 
 def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                         m_ref, l_ref, acc_ref,
-                         *, scale, kv_len, block_k):
+                         m_ref, acc_ref,
+                         *, scale, kv_len, block_k, d):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     # Same VPU-economy tricks as the serving kernel (flash_attention.py):
@@ -57,25 +56,25 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
 
     m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2(s.astype(jnp.float32) - m_new).astype(s_dtype)
-    l_new = alpha * l_prev + jnp.sum(
-        p.astype(jnp.float32), axis=-1, keepdims=True)
+    # V carries a ones column: column d of the fp32 accumulator is the
+    # running softmax sum (its alpha-rescale recurrence is the same one the
+    # pv columns need), so the l scratch + VPU reduction disappear — see
+    # flash_attention._flash_kernel.
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == nk - 1)
     def _fin():
-        l = l_ref[:, :1]
+        l = acc_ref[:, d:d + 1]
         safe_l = jnp.where(l == 0, 1.0, l)
-        o_ref[0] = (acc_ref[:] / safe_l).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:, :d] / safe_l).astype(o_ref.dtype)
         # lse kept in the base-2 domain: lse2 = m2 + log2(l)
         lse_row = m_ref[:, 0] + jnp.log2(safe_l[:, 0])  # (bq,)
         # lse is stored (bh, nq, 8, bq) to satisfy TPU block tiling
@@ -83,9 +82,11 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _fwd_with_lse_kernel_1pass(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                               *, scale, kv_len):
+                               *, scale, kv_len, d):
     """Single k-block specialization (every frame-attention call and the
-    global attention at training view counts): no online-softmax carry."""
+    global attention at training view counts): no online-softmax carry.
+    V arrives with a ones column appended so the PV dot also yields the
+    softmax row sum on the MXU (see flash_attention._flash_kernel_1pass)."""
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]
     s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
@@ -97,13 +98,13 @@ def _fwd_with_lse_kernel_1pass(q_ref, k_ref, v_ref, o_ref, lse_ref,
         s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
     m = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     p = jnp.exp2(s.astype(jnp.float32) - m).astype(s_dtype)
-    l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
     acc = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
+    )  # (bq, d+1): last column is the softmax row sum
+    l = acc[:, d:d + 1]
     safe_l = jnp.where(l == 0, 1.0, l)
-    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    o_ref[0] = (acc[:, :d] / safe_l).astype(o_ref.dtype)
     lse_row = m[:, 0] + jnp.log2(safe_l[:, 0])
     lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
 
@@ -228,16 +229,20 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
     qb, kb, vb = (_prep(q, n_pad, b, h, d), _prep(k, kv_pad, b, h, d),
                   _prep(v, kv_pad, b, h, d))
     if kv_pad == block_k:
+        # ones column for the MXU row-sum; saved residual vb stays d-wide
+        # (the bwd kernels consume plain V)
+        vb_ones = jnp.concatenate(
+            [vb, jnp.ones((b * h, kv_pad, 1), vb.dtype)], axis=-1)
         grid = (b * h, n_pad // block_q)
         out, lse = pl.pallas_call(
             functools.partial(
-                _fwd_with_lse_kernel_1pass, scale=scale, kv_len=kv_len
+                _fwd_with_lse_kernel_1pass, scale=scale, kv_len=kv_len, d=d
             ),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, block_k, d + 1), lambda bh, i: (bh, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
@@ -249,19 +254,21 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
                     (b * h, n_pad // block_q, 8, block_q), jnp.float32
                 ),
             ],
-        )(qb, kb, vb)
+        )(qb, kb, vb_ones)
         out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
         return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
                                                  kv_pad, block_q, block_k))
+    vb_ones = jnp.concatenate(
+        [vb, jnp.ones((b * h, kv_pad, 1), vb.dtype)], axis=-1)
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_with_lse_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k),
+                          block_k=block_k, d=d),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda bh, i, j: (bh, j, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
@@ -274,11 +281,11 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            # output accumulator; column d carries the running softmax sum
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
-    )(qb, kb, vb)
+    )(qb, kb, vb_ones)
     out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
     return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
                                              kv_pad, block_q, block_k))

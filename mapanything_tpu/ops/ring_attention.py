@@ -42,17 +42,19 @@ from .flash_attention import _round_up, pick_block
 _LANES = 128
 
 
-def _flash_stats_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
+def _flash_stats_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
                         *, scale: float, kv_len: int, block_k: int, d: int):
     """Multi-block flash (ops/flash_attention._flash_kernel) that finalizes
-    to [unnormalized acc | m | l] in one (block_q, d+2) tile."""
+    to [unnormalized acc | m | l] in one (block_q, d+2) tile.
+
+    V carries a ones column, so column d of the fp32 accumulator is the
+    running softmax sum (same MXU row-sum fusion as the serving kernels)."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
@@ -68,30 +70,25 @@ def _flash_stats_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref,
         s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
 
     m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
     m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
     p = jnp.exp2((s.astype(jnp.float32) - m_new)).astype(s_dtype)
-    l_new = alpha * l_prev + jnp.sum(
-        p.astype(jnp.float32), axis=-1, keepdims=True
-    )
 
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(j == nk - 1)
     def _finalize():
         # fully-masked q rows (padded or an all-padded k shard) keep
         # m = -inf / l = 0; the ring merge and final divide guard them.
         out = jnp.concatenate(
-            [acc_ref[:],
+            [acc_ref[:, :d],
              m_ref[:, :1].astype(jnp.float32),
-             l_ref[:, :1].astype(jnp.float32)],
+             acc_ref[:, d:d + 1]],
             axis=-1,
         )
         o_ref[0] = out.astype(o_ref.dtype)
@@ -123,15 +120,18 @@ def flash_attention_stats(
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
-    def to_bh(x, target_len):
+    def to_bh(x, target_len, extra_ones=False):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
         if x.shape[1] != target_len:
             x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
+        if extra_ones:  # MXU row-sum column (see _flash_stats_kernel)
+            ones = jnp.ones((b * h, target_len, 1), x.dtype)
+            x = jnp.concatenate([x, ones], axis=-1)
         return x
 
     qb = to_bh(q, n_pad)
     kb = to_bh(k, kv_pad)
-    vb = to_bh(v, kv_pad)
+    vb = to_bh(v, kv_pad, extra_ones=True)
 
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
@@ -143,15 +143,15 @@ def flash_attention_stats(
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, block_k, d + 1), lambda bh, i, j: (bh, j, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d + 2),
                                lambda bh, i, j: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d + 2), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
+            # output accumulator; column d carries the running softmax sum
+            pltpu.VMEM((block_q, d + 1), jnp.float32),
         ],
         interpret=interpret,
     )(qb, kb, vb)
