@@ -152,6 +152,22 @@ def main():
             lambda p, v: model.apply(p, v, geom,
                                      memory_efficient=memory_efficient)
         )
+        if memory_efficient:
+            # chunked postprocess + donated preds: fp32 intermediates exist
+            # only at chunk width and XLA reuses the forward's output
+            # buffers, which is what lets 100+ views fit 16 GB
+            mem_post = jax.jit(
+                lambda preds, imgs: postprocess_outputs(
+                    preds, imgs, apply_mask=True, mask_edges=True,
+                    apply_confidence_mask=True, view_chunk=8,
+                ),
+                donate_argnums=(0,),
+            )
+
+            def infer_fn(p, v):
+                return mem_post(fwd(p, v), v["img"])
+
+            return infer_fn
 
         def infer_fn(p, v):
             return post(fwd(p, v), v["img"])
@@ -270,11 +286,18 @@ def main():
             extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
             print(f"# train step: {st * 1000:.0f} ms sustained "
                   f"({tb * tv / st:.1f} imgs/s)", flush=True)
+            # Free the optimizer state before the view-ceiling ladder: the
+            # AdamW moments alone hold ~5 GB (2x fp32 params) and poisoned
+            # every ceiling probe down to 128 views when left alive.
+            del state, m, step, tparams, tmodel, batch
         except Exception as e:
             print(f"# train-step extra failed: {type(e).__name__}: {e}",
                   flush=True)
     else:
         print("# deadline: skipping train-step extra", flush=True)
+    import gc
+
+    gc.collect()
 
     # ---- view-count ceiling demo (round-2 VERDICT item 2) -----------------
     # The reference claims ~2000 views on a 140 GB GPU (README.md:132),
@@ -283,7 +306,21 @@ def main():
     # RESOURCE_EXHAUSTED can leave the backend allocator poisoned for
     # whatever compiles next (observed: the train-step extra OOMing after a
     # failed 256-view probe).
-    import gc
+    def timed_release(fn, p, v, iters):
+        # At the memory ceiling the PREVIOUS call's output dict (~4 GB at
+        # 256 views) must be released before the next dispatch — a serving
+        # pipeline consumes-and-drops each scene; holding two generations
+        # of outputs (plain `timed`) halves the feasible view count.
+        out = fn(p, v)
+        _ = float(out["metric_scaling_factor"][0])
+        lat = []
+        for _i in range(iters):
+            out = None
+            t0 = time.time()
+            out = fn(p, v)
+            _ = float(out["metric_scaling_factor"][0])
+            lat.append(time.time() - t0)
+        return float(np.median(lat))
 
     for vv in (256, 224, 192, 160, 128):
         if _left() < 120:
@@ -292,7 +329,7 @@ def main():
         try:
             fn = build(images_only, memory_efficient=True)
             vws = make_views(1, vv, h, w)
-            p50 = timed(fn, params, vws, iters=1)
+            p50 = timed_release(fn, params, vws, iters=1)
             extras[f"p50_e2e_latency_{vv}view_ms"] = round(p50 * 1000, 1)
             extras["view_ceiling_per_chip"] = vv
             print(f"# view ceiling: {vv} views, {p50 * 1000:.0f} ms",

@@ -227,6 +227,13 @@ def unstack_views(batched: Dict[str, jnp.ndarray], num_views: int) -> List[Dict[
 # ---------------------------------------------------------------------------
 
 
+def _largest_divisor_leq(n: int, target: int) -> int:
+    for c in range(min(n, target), 0, -1):
+        if n % c == 0:
+            return c
+    return 1
+
+
 def postprocess_outputs(
     preds: Dict[str, jnp.ndarray],
     imgs: jnp.ndarray,
@@ -237,12 +244,51 @@ def postprocess_outputs(
     edge_depth_threshold: float = 0.03,
     apply_confidence_mask: bool = False,
     confidence_percentile: float = 10.0,
+    view_chunk: "int | None" = None,
 ) -> Dict[str, jnp.ndarray]:
     """Derived fields + combined masking, fully on device.
 
     Matches reference inference.py:294-481 semantics; the per-image host numpy
     loops (quantile, points_to_normals, depth/normals edges) become batched
-    jnp (geometry/edges.py)."""
+    jnp (geometry/edges.py).
+
+    Every step is per-view separable (the confidence quantile is over each
+    view's own pixels), so ``view_chunk`` processes the view axis in chunks
+    under ``lax.map``: the fp32 intermediates (normals, edge maps, quantile
+    bisection workspace) then exist only at chunk width, which is what lets
+    100+-view scenes postprocess on a 16 GB chip. Semantics are identical
+    to the unchunked path; chunk size rounds down to a divisor of V."""
+    if view_chunk is not None:
+        v = imgs.shape[1]
+        c = _largest_divisor_leq(v, view_chunk)
+        if c < v:
+            kw = dict(
+                data_norm_type=data_norm_type, apply_mask=apply_mask,
+                mask_edges=mask_edges,
+                edge_normal_threshold=edge_normal_threshold,
+                edge_depth_threshold=edge_depth_threshold,
+                apply_confidence_mask=apply_confidence_mask,
+                confidence_percentile=confidence_percentile,
+            )
+            per_view = {k: a for k, a in preds.items()
+                        if hasattr(a, "ndim") and a.ndim >= 2
+                        and a.shape[:2] == (imgs.shape[0], v)}
+            rest = {k: a for k, a in preds.items() if k not in per_view}
+
+            def body(i):
+                sl = lambda x: jax.lax.dynamic_slice_in_dim(  # noqa: E731
+                    x, i * c, c, axis=1)
+                return postprocess_outputs(
+                    jax.tree.map(sl, per_view), sl(imgs), **kw)
+
+            out = jax.lax.map(body, jnp.arange(v // c))
+
+            def unseg(x):  # (nc, B, c, ...) -> (B, V, ...)
+                x = jnp.moveaxis(x, 0, 1)
+                return x.reshape(x.shape[0], v, *x.shape[3:])
+
+            return {**rest, **jax.tree.map(unseg, out)}
+
     out = dict(preds)
 
     mean, std = IMAGE_NORMALIZATION_DICT[data_norm_type]
@@ -433,7 +479,13 @@ class InferencePipeline:
                     edge_depth_threshold=edge_depth_threshold,
                     apply_confidence_mask=apply_confidence_mask,
                     confidence_percentile=confidence_percentile,
-                )
+                    # memory-efficient requests chunk the postprocess too
+                    # (per-view-exact, see postprocess_outputs) and donate
+                    # the forward's outputs for buffer reuse
+                    view_chunk=(
+                        8 if memory_efficient_inference else None),
+                ),
+                donate_argnums=(0,) if memory_efficient_inference else (),
             )
             fn = (fwd, post)
             self._jitted[flags] = fn

@@ -245,3 +245,29 @@ class TestPipeline:
         np.testing.assert_allclose(
             np.asarray(preds2[0]["pts3d"]), np.asarray(p["pts3d"]), atol=0
         )
+
+    def test_chunked_postprocess_matches_unchunked(self, tiny_model_and_params):
+        """view_chunk (the memory-efficient postprocess) is semantically
+        exact: every step is per-view separable, incl. the per-view
+        confidence quantile."""
+        from mapanything_tpu.utils.inference import postprocess_outputs
+
+        model, params = tiny_model_and_params
+        rng = np.random.default_rng(3)
+        b, v = 1, 4
+        imgs = jnp.asarray(rng.normal(size=(b, v, H, W, 3)).astype(np.float32))
+        preds = model.apply(params, {"img": imgs}, images_only_config())
+        kw = dict(apply_mask=True, mask_edges=True,
+                  apply_confidence_mask=True)
+        ref = postprocess_outputs(preds, imgs, **kw)
+        for chunk in (2, 3):  # 3 -> divisor fallback to 2
+            out = postprocess_outputs(preds, imgs, view_chunk=chunk, **kw)
+            assert set(out) == set(ref)
+            for k in ref:
+                # rtol: the intrinsics recovery reduces over pixels, and
+                # chunking changes the fp32 accumulation order
+                np.testing.assert_allclose(
+                    np.asarray(ref[k]), np.asarray(out[k]),
+                    rtol=1e-5, atol=1e-6,
+                    err_msg=f"key {k} chunk {chunk}",
+                )
