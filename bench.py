@@ -301,44 +301,41 @@ def main():
 
     # ---- view-count ceiling demo (round-2 VERDICT item 2) -----------------
     # The reference claims ~2000 views on a 140 GB GPU (README.md:132),
-    # pro-rating to ~230 on this 16 GB chip. Probe a DESCENDING ladder and
-    # record the largest view count that fits; runs LAST because a
-    # RESOURCE_EXHAUSTED can leave the backend allocator poisoned for
-    # whatever compiles next (observed: the train-step extra OOMing after a
-    # failed 256-view probe).
-    def timed_release(fn, p, v, iters):
-        # At the memory ceiling the PREVIOUS call's output dict (~4 GB at
-        # 256 views) must be released before the next dispatch — a serving
-        # pipeline consumes-and-drops each scene; holding two generations
-        # of outputs (plain `timed`) halves the feasible view count.
-        out = fn(p, v)
-        _ = float(out["metric_scaling_factor"][0])
-        lat = []
-        for _i in range(iters):
-            out = None
-            t0 = time.time()
-            out = fn(p, v)
-            _ = float(out["metric_scaling_factor"][0])
-            lat.append(time.time() - t0)
-        return float(np.median(lat))
+    # pro-rating to ~230 on this 16 GB chip; 192 fits (XLA memory analysis
+    # 14.6 GiB), 256 needs 16.4 GiB and CRASHES the TPU worker, so the
+    # ladder tops out at 192. Each probe runs in a SUBPROCESS
+    # (scripts/view_ceiling_probe.py): in-process, the executables already
+    # loaded by the sweeps above pin enough device scratch that even 128
+    # views OOMs, and a fresh client also shields this process from
+    # allocator poisoning if a probe fails.
+    import subprocess
+    import sys
 
-    for vv in (256, 224, 192, 160, 128):
-        if _left() < 120:
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "view_ceiling_probe.py")
+    for vv in (192, 160, 128):
+        if _left() < 180:
             print(f"# deadline: skipping {vv}-view ceiling probe", flush=True)
             break
         try:
-            fn = build(images_only, memory_efficient=True)
-            vws = make_views(1, vv, h, w)
-            p50 = timed_release(fn, params, vws, iters=1)
-            extras[f"p50_e2e_latency_{vv}view_ms"] = round(p50 * 1000, 1)
-            extras["view_ceiling_per_chip"] = vv
-            print(f"# view ceiling: {vv} views, {p50 * 1000:.0f} ms",
+            r = subprocess.run(
+                [sys.executable, probe, str(vv)],
+                capture_output=True, text=True,
+                timeout=min(900.0, max(_left(), 180.0)),
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            res = json.loads(line) if line.startswith("{") else {}
+            if r.returncode == 0 and res.get("ok"):
+                extras[f"p50_e2e_latency_{vv}view_ms"] = res["ms"]
+                extras["view_ceiling_per_chip"] = vv
+                print(f"# view ceiling: {vv} views, {res['ms']:.0f} ms",
+                      flush=True)
+                break
+            print(f"# {vv}-view probe failed (rc={r.returncode}): "
+                  f"{r.stderr.strip().splitlines()[-1][:160] if r.stderr.strip() else ''}",
                   flush=True)
-            break
         except Exception as e:
             print(f"# {vv}-view probe failed: {type(e).__name__}", flush=True)
-            fn = vws = None
-            gc.collect()
 
     print(
         json.dumps(

@@ -184,6 +184,10 @@ class MapAnythingConfig:
     # Static replacement for adaptive minibatching: dense-head token maps are
     # processed in chunks of this many views at a time when memory_efficient.
     dense_head_chunk: int = 4
+    # memory_efficient only: encoder/trunk MLPs run their rows through
+    # lax.map in chunks of this many tokens, bounding the (N, 4*dim) GELU
+    # transient (~2.9 GB at 256 views unchunked) — see nn/layers.Mlp.
+    mlp_token_chunk: int = 16384
 
     # Compute dtype for the encoder/trunk hot path.
     dtype: Any = jnp.bfloat16
@@ -258,6 +262,7 @@ class MapAnything(nn.Module):
         # ------------------------------------------------------------------
         # 1. Image encoder over all views at once (model.py:622-645).
         # ------------------------------------------------------------------
+        mlp_chunk = cfg.mlp_token_chunk if memory_efficient else None
         if cfg.encoder_type == "dinov2":
             encoder = DinoViT(
                 size=cfg.encoder_size,
@@ -266,6 +271,7 @@ class MapAnything(nn.Module):
                 param_dtype=self.param_dtype,
                 remat=cfg.encoder_gradient_checkpointing,
                 fold_layerscale=cfg.fold_layerscale,
+                mlp_token_chunk=mlp_chunk,
                 name="encoder",
             )
         elif cfg.encoder_type == "croco":
@@ -351,6 +357,7 @@ class MapAnything(nn.Module):
             param_dtype=self.param_dtype,
             remat=cfg.trunk_gradient_checkpointing,
             seq_axis=cfg.trunk_seq_axis,
+            mlp_token_chunk=mlp_chunk,
             name="info_sharing",
         )
         view_indices = None

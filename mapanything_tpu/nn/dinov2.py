@@ -167,6 +167,7 @@ class DinoViT(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    mlp_token_chunk: "int | None" = None  # see layers.Mlp.token_chunk
 
     @property
     def embed_dim(self) -> int:
@@ -239,6 +240,7 @@ class DinoViT(nn.Module):
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
+                mlp_token_chunk=self.mlp_token_chunk,
                 name=f"blocks_{i}",
             )(x)
 

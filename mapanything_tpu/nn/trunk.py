@@ -76,6 +76,7 @@ class AlternatingAttentionTrunk(nn.Module):
     # LN and MLP are per-view and need no change.
     seq_axis: Optional[str] = None
     remat: bool = False
+    mlp_token_chunk: Optional[int] = None  # see layers.Mlp.token_chunk
 
     @nn.compact
     def __call__(
@@ -182,6 +183,7 @@ class AlternatingAttentionTrunk(nn.Module):
                 entropy_scaling_base=(
                     p if (self.use_entropy_scaling and is_global) else None
                 ),
+                mlp_token_chunk=self.mlp_token_chunk,
                 name=f"layers_{i}",
             )
             if is_global:
@@ -330,7 +332,8 @@ class GlobalAttentionTrunk(AlternatingAttentionTrunk):
                 self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias, layerscale_init=self.layerscale_init,
                 dtype=self.dtype, param_dtype=self.param_dtype,
-                attn_impl=self.global_attn_impl, name=f"layers_{i}",
+                attn_impl=self.global_attn_impl,
+                mlp_token_chunk=self.mlp_token_chunk, name=f"layers_{i}",
             )
             flat = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
             flat = blk(flat)

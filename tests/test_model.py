@@ -31,6 +31,9 @@ TINY = MapAnythingConfig(
     dpt_out_channels=(32, 32, 32, 32),
     dpt_hidden_dims=(16, 8),
     dense_head_chunk=2,
+    # small enough that the ~12-token tiny forward actually exercises the
+    # chunked-MLP memory path in the *_equivalence tests
+    mlp_token_chunk=8,
     dtype=jnp.float32,
 )
 
