@@ -445,6 +445,82 @@ class TestCovisibility:
         assert cov[0, 1] < 0.05
 
 
+class TestDepthConsistencyConfidence:
+    """Per-pixel pseudo-depth confidence (reference data_processing
+    depth_consistency_confidence.py) on synthetic consistent/corrupted
+    scenes."""
+
+    @staticmethod
+    def scene(f=3, h=40, w=40):
+        depths = np.full((f, h, w), 2.0, np.float32)
+        K = np.array([[[35.0, 0, w / 2], [0, 35.0, h / 2], [0, 0, 1]]] * f,
+                     np.float32)
+        poses = np.stack([np.eye(4, dtype=np.float32)] * f)
+        for i in range(f):
+            poses[i][0, 3] = 0.15 * i  # small x shifts, same plane z=2
+        return depths, K, poses
+
+    def test_consistent_scene_is_confident(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_depth_consistency_confidence,
+        )
+
+        depths, K, poses = self.scene()
+        conf = compute_depth_consistency_confidence(
+            depths, K, poses, target_size=40)
+        assert conf.shape == depths.shape
+        # most pixels project into the neighbors and agree exactly
+        assert conf.mean() > 0.95
+        assert conf.max() <= 1.0 and conf.min() >= 0.0
+
+    def test_corrupted_frame_loses_confidence(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_depth_consistency_confidence,
+        )
+
+        depths, K, poses = self.scene()
+        clean = compute_depth_consistency_confidence(
+            depths, K, poses, target_size=40)
+        bad = depths.copy()
+        bad[2] *= 1.5  # frame 2's depth is wrong by 50%
+        conf = compute_depth_consistency_confidence(
+            bad, K, poses, target_size=40)
+        # the corrupted frame disagrees with both neighbors: only its
+        # self-projection stays an inlier -> ~1/3
+        assert conf[2].mean() < 0.5
+        # clean frames keep their self + one consistent neighbor
+        assert conf[0].mean() > 0.6
+        assert conf[0].mean() < clean[0].mean()
+
+    def test_invalid_source_depth_is_zero_confidence(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_depth_consistency_confidence,
+        )
+
+        depths, K, poses = self.scene()
+        depths[0, :10, :10] = 0.0  # invalid source pixels
+        conf = compute_depth_consistency_confidence(
+            depths, K, poses, target_size=40)
+        assert (conf[0, :10, :10] == 0).all()
+
+    def test_overlap_gate_excludes_pairs(self):
+        from mapanything_tpu.data.covisibility import (
+            compute_depth_consistency_confidence,
+        )
+
+        depths, K, poses = self.scene()
+        bad = depths.copy()
+        bad[2] *= 1.5
+        gate = np.ones((3, 3), bool)
+        gate[:, 2] = False  # never test against the corrupted frame
+        gate[2, :] = False
+        conf = compute_depth_consistency_confidence(
+            bad, K, poses, target_size=40, overlap=gate)
+        # with frame 2 gated out, frames 0/1 are fully consistent again
+        assert conf[0].mean() > 0.95
+        assert (conf[2] == 0).all()
+
+
 class TestSplits:
     """Procedural split rules replacing the reference's materialized
     tables (reference datasets/utils/data_splits.py, 1734 LoC)."""
