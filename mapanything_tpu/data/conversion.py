@@ -68,8 +68,9 @@ def _camera_K(cam: Dict) -> np.ndarray:
     else:
         raise ValueError(
             f"unsupported COLMAP camera model id {cam['model_id']}; "
-            "undistort to PINHOLE first (the reference scripts do the same "
-            "via pycolmap image_undistorter)"
+            "undistort to PINHOLE first (data/undistort.py handles OPENCV "
+            "and OPENCV_FISHEYE; the reference scripts use pycolmap "
+            "image_undistorter)"
         )
     return K
 
@@ -162,9 +163,25 @@ def colmap_to_wai(
             raise ValueError("depth_source='external' needs external_depths")
     elif depth_source != "none":
         raise ValueError(f"unknown depth_source {depth_source!r}")
+    if covisibility and depth_source != "external":
+        # fail before anything is written, not after the full scene is
+        # on disk
+        raise ValueError(
+            "covisibility needs dense depth (depth_source='external'); "
+            "sparse point renders under-count overlap")
 
     images = sorted(images, key=lambda im: im["name"])
     shared_cam = len({im["camera_id"] for im in images}) == 1
+
+    # frame keys must be unique: basenames alone collide for multi-camera
+    # rigs (cam0/0001.png vs cam1/0001.png), so keep the relative path
+    def _frame_key(name: str) -> str:
+        return Path(name).with_suffix("").as_posix().replace("/", "_")
+
+    keys = [_frame_key(im["name"]) for im in images]
+    if len(set(keys)) != len(keys):
+        dup = sorted({k for k in keys if keys.count(k) > 1})
+        raise ValueError(f"frame keys collide after path flattening: {dup}")
 
     meta: Dict = {
         "scene_name": scene_name or out_dir.name,
@@ -200,7 +217,7 @@ def colmap_to_wai(
                 f"{im['name']}: image is {w}x{h} but COLMAP camera says "
                 f"{cam['width']}x{cam['height']}")
 
-        stem = Path(im["name"]).stem
+        stem = _frame_key(im["name"])
         img_rel = f"images/{stem}.png"
         store_data(out_dir / img_rel, img, "image")
         rec: Dict = {
@@ -220,6 +237,12 @@ def colmap_to_wai(
                 if im["name"] not in external_depths:
                     raise KeyError(f"no external depth for {im['name']}")
                 depth = np.asarray(external_depths[im["name"]], np.float32)
+                if depth.shape != (h, w):
+                    raise ValueError(
+                        f"{im['name']}: external depth is {depth.shape} but "
+                        f"the image is {(h, w)} — resample it first "
+                        "(covisibility would silently score against the "
+                        "wrong intrinsics)")
             depth_rel = f"depth/{stem}.{depth_format}"
             store_data(out_dir / depth_rel, depth, "depth")
             rec["depth"] = depth_rel
@@ -237,10 +260,6 @@ def colmap_to_wai(
     meta.update(w=int(cam0["width"]), h=int(cam0["height"]))
 
     if covisibility:
-        if depth_source != "external":
-            raise ValueError(
-                "covisibility needs dense depth (depth_source='external'); "
-                "sparse point renders under-count overlap")
         from .covisibility import compute_pairwise_covisibility
 
         covis = compute_pairwise_covisibility(

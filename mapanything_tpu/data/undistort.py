@@ -80,17 +80,22 @@ def undistort_points_normalized(
             y = (yd - dy) / radial
         return np.stack([x, y], axis=-1)
     if model == "OPENCV_FISHEYE":
-        # scalar Newton on theta: g(t) = t (1 + k1 t^2 + ...) - theta_d
+        # scalar Newton on theta: g(t) = t (1 + k1 t^2 + ...) - theta_d,
+        # g'(t) = 1 + 3 k1 t^2 + 5 k2 t^4 + 7 k3 t^6 + 9 k4 t^8
         k1, k2, k3, k4 = (float(d) for d in dist[:4])
         rd = np.linalg.norm(xyd, axis=-1)
         theta = rd.copy()  # good init for mild distortion
         for _ in range(iters):
             t2 = theta * theta
             poly = 1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))
-            dpoly = 3 * k1 * t2 + 5 * k2 * t2**2 + 7 * k3 * t2**3 \
-                + 9 * k4 * t2**4
+            dg = 1 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3
+                                                         + t2 * 9 * k4)))
             g = theta * poly - rd
-            theta = theta - g / np.maximum(poly + dpoly, 1e-9)
+            # outside the model's monotonic range g' can go negative;
+            # clamp magnitude only, keep the sign
+            dg = np.where(np.abs(dg) > 1e-9, dg, np.where(dg < 0, -1e-9,
+                                                          1e-9))
+            theta = theta - g / dg
         r = np.tan(theta)
         scale = np.where(rd > 1e-12, r / np.maximum(rd, 1e-12), 1.0)
         return xyd * scale[..., None]
@@ -274,8 +279,16 @@ def undistort_frame(
     :150-264): images resample bilinear/reflect-101, depth nearest with
     -1 fill, masks linear-then-threshold with 255 fill. Returns
     (new modalities, pinhole cam meta)."""
-    K = np.array([[cam_meta["fl_x"], 0, cam_meta["cx"]],
-                  [0, cam_meta["fl_y"], cam_meta["cy"]],
+    # the reference WAI format spells focals fl_x/fl_y (camera.py:19);
+    # this repo's writers use fx/fy — accept either, emit both below
+    def _focal(meta, *keys):
+        for k in keys:
+            if k in meta:
+                return float(meta[k])
+        raise KeyError(f"camera meta missing {keys[0]!r} (or alias)")
+
+    K = np.array([[_focal(cam_meta, "fl_x", "fx"), 0, cam_meta["cx"]],
+                  [0, _focal(cam_meta, "fl_y", "fy"), cam_meta["cy"]],
                   [0, 0, 1.0]])
     w, h = int(cam_meta["w"]), int(cam_meta["h"])
     model = cam_meta["camera_model"]
@@ -309,7 +322,9 @@ def undistort_frame(
 
     new_meta = dict(cam_meta)
     new_meta.update(
-        w=w, h=h, fl_x=float(new_K[0, 0]), fl_y=float(new_K[1, 1]),
+        w=w, h=h,
+        fl_x=float(new_K[0, 0]), fl_y=float(new_K[1, 1]),
+        fx=float(new_K[0, 0]), fy=float(new_K[1, 1]),
         cx=float(new_K[0, 2]), cy=float(new_K[1, 2]),
         camera_model="PINHOLE",
     )

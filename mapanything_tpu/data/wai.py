@@ -69,13 +69,21 @@ def _load_depth(path: Path) -> np.ndarray:
 
 
 def get_intrinsics(meta: Dict[str, Any], frame: Dict[str, Any]) -> np.ndarray:
-    """Pinhole K from per-frame or scene-shared fx/fy/cx/cy."""
-    def get(k):
-        return frame.get(k, meta.get(k))
+    """Pinhole K from per-frame or scene-shared focal/principal-point keys.
+
+    Accepts both this repo's fx/fy spelling and the reference WAI format's
+    fl_x/fl_y (reference utils/wai/camera.py:19 PINHOLE_CAM_KEYS)."""
+    def get(*keys):
+        for k in keys:
+            v = frame.get(k, meta.get(k))
+            if v is not None:
+                return v
+        raise KeyError(f"intrinsics key {keys[0]!r} (or alias) missing from "
+                       "frame and scene meta")
 
     K = np.eye(3, dtype=np.float32)
-    K[0, 0] = float(get("fx"))
-    K[1, 1] = float(get("fy"))
+    K[0, 0] = float(get("fx", "fl_x"))
+    K[1, 1] = float(get("fy", "fl_y"))
     K[0, 2] = float(get("cx"))
     K[1, 2] = float(get("cy"))
     return K

@@ -120,13 +120,29 @@ def export_colmap_reconstruction(
 # -- readers (for round-trip validation) ------------------------------------
 
 
+# COLMAP camera model id -> parameter count (src/colmap/sensor/models.h)
+COLMAP_CAMERA_MODEL_PARAMS = {
+    0: 3,   # SIMPLE_PINHOLE
+    1: 4,   # PINHOLE
+    2: 4,   # SIMPLE_RADIAL
+    3: 5,   # RADIAL
+    4: 8,   # OPENCV
+    5: 8,   # OPENCV_FISHEYE
+    6: 12,  # FULL_OPENCV
+    7: 5,   # FOV
+    8: 4,   # SIMPLE_RADIAL_FISHEYE
+    9: 5,   # RADIAL_FISHEYE
+    10: 12,  # THIN_PRISM_FISHEYE
+}
+
+
 def read_cameras_bin(path: str) -> List[Dict]:
     out = []
     with open(path, "rb") as f:
         (n,) = struct.unpack("<Q", f.read(8))
         for _ in range(n):
             cid, model, w, h = struct.unpack("<iiQQ", f.read(24))
-            n_params = {0: 3, 1: 4}[model]
+            n_params = COLMAP_CAMERA_MODEL_PARAMS[model]
             params = struct.unpack(f"<{n_params}d", f.read(8 * n_params))
             out.append(dict(camera_id=cid, model_id=model, width=w, height=h,
                             params=list(params)))

@@ -30,18 +30,23 @@ def pack_predictions(outputs: List[Dict[str, Any]]) -> Dict[str, np.ndarray]:
     (reference gradio_app.py:135-204): extrinsic (S,4,4), intrinsic
     (S,3,3), world_points (S,H,W,3), depth (S,H,W,1), conf (S,H,W),
     images (S,H,W,3), final_mask (S,H,W)."""
-    def grab(key, default=None):
+    def grab(key, required=True):
         rows = []
-        for p in outputs:
+        for i, p in enumerate(outputs):
             if key not in p:
-                return default
+                if required:
+                    raise KeyError(
+                        f"pipeline output for view {i} is missing {key!r} — "
+                        "pack_predictions needs the full infer() key set "
+                        f"(got {sorted(p)})")
+                return None
             rows.append(np.asarray(p[key][0], np.float32))
         return np.stack(rows)
 
     world = grab("pts3d")
     depth = grab("depth_z")
     imgs = grab("img_no_norm")
-    conf = grab("conf")
+    conf = grab("conf", required=False)
     if conf is not None and conf.ndim == 4:
         conf = conf[..., 0]
     masks = []

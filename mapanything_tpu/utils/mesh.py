@@ -195,6 +195,12 @@ def write_glb_mesh(
         cols = np.broadcast_to(
             np.asarray(color, np.uint8), (len(v), 3)).copy()
         prims.append((v, f, cols, None))
+    # glTF 2.0 requires accessor.count >= 1 — drop empty prims (e.g. a
+    # fully-masked scene mesh) so the remaining nodes stay loadable
+    prims = [p for p in prims if len(p[0]) and len(p[1])]
+    if not prims:
+        raise ValueError(
+            "nothing to export: every mesh is empty (all pixels masked?)")
 
     buf = b""
     views, accessors, meshes = [], [], []

@@ -140,3 +140,74 @@ def test_cli(scene, tmp_path, capsys):
                                  scene["c2w"][0], H, W)
     hit = d > 0
     np.testing.assert_allclose(fr["depth"][hit], d[hit], atol=2e-3)
+
+
+def test_rig_subdir_names_stay_unique(scene, tmp_path):
+    """cam0/0001.png and cam1/0001.png must not collide (multi-camera
+    rig); frame keys keep the path."""
+    img_dir = tmp_path / "rig_images"
+    for cam in ("cam0", "cam1"):
+        (img_dir / cam).mkdir(parents=True)
+        for i, img in enumerate(scene["images"][:1]):
+            PIL.Image.fromarray(img).save(img_dir / cam / "0001.png")
+    K = scene["K"]
+    from mapanything_tpu.utils.colmap_io import export_colmap_reconstruction
+
+    sparse = export_colmap_reconstruction(
+        str(tmp_path / "rig_sparse" / "0"),
+        np.stack([K, K]), scene["c2w"][:2], [(W, H)] * 2,
+        ["cam0/0001.png", "cam1/0001.png"],
+        scene["pts_world"], np.zeros((len(scene["pts_world"]), 3)))
+    out = colmap_to_wai(sparse, img_dir, tmp_path / "rig_wai")
+    meta = load_scene_meta(out / "scene_meta.json")
+    assert len(meta["frames"]) == 2
+    assert set(meta["frame_names"]) == {"cam0_0001", "cam1_0001"}
+    for key in meta["frame_names"]:
+        fr = load_frame(out, key, ["image"], scene_meta=meta)
+        assert fr["image"].shape == (H, W, 3)
+
+
+def test_covisibility_arg_check_fires_before_writes(scene, tmp_path):
+    out = tmp_path / "never_written"
+    with pytest.raises(ValueError, match="covisibility needs dense depth"):
+        colmap_to_wai(scene["sparse"], scene["img_dir"], out,
+                      depth_source="points", covisibility=True)
+    assert not out.exists()
+
+
+def test_external_depth_shape_mismatch_rejected(scene, tmp_path):
+    ext = {n: np.ones((H // 2, W // 2), np.float32)
+           for n in scene["names"]}
+    with pytest.raises(ValueError, match="resample it first"):
+        colmap_to_wai(scene["sparse"], scene["img_dir"],
+                      tmp_path / "bad_depth", depth_source="external",
+                      external_depths=ext)
+
+
+def test_distorted_camera_gets_friendly_error(scene, tmp_path):
+    """A real `colmap mapper` output uses OPENCV-family models; the reader
+    must parse them and the converter must point at the undistort stage."""
+    import struct
+
+    cams_path = tmp_path / "sparse0" / "cameras.bin"
+    cams_path.parent.mkdir(parents=True)
+    with open(cams_path, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        # OPENCV (id 4): fx fy cx cy k1 k2 p1 p2
+        f.write(struct.pack("<iiQQ", 1, 4, W, H))
+        f.write(struct.pack("<8d", 50, 50, W / 2, H / 2, -0.2, 0.05,
+                            0.001, -0.001))
+    from mapanything_tpu.utils.colmap_io import read_cameras_bin
+
+    cams = read_cameras_bin(str(cams_path))
+    assert cams[0]["model_id"] == 4 and len(cams[0]["params"]) == 8
+
+    import shutil
+    from pathlib import Path
+
+    sparse = Path(scene["sparse"])
+    shutil.copy(sparse / "images.bin", cams_path.parent)
+    shutil.copy(sparse / "points3D.bin", cams_path.parent)
+    with pytest.raises(ValueError, match="undistort to PINHOLE first"):
+        colmap_to_wai(cams_path.parent, scene["img_dir"],
+                      tmp_path / "never")

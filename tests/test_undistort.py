@@ -54,6 +54,22 @@ class TestInverse:
         back = ud.undistort_points_normalized(xyd, dist, model)
         np.testing.assert_allclose(back, xy, atol=1e-6)
 
+    def test_fisheye_strong_distortion_matches_cv2(self):
+        # a real ~160-deg fisheye: theta up to ~1.45 rad; the Newton
+        # denominator must be g' = 1 + 3k1 t^2 + ... (regression: the
+        # poly+dpoly form diverged here)
+        dist = np.array([-0.2, 0.1, -0.05, 0.01])
+        theta = np.linspace(0.1, 1.45, 40)
+        r = np.tan(theta)
+        xy = np.stack([r * np.cos(0.7), r * np.sin(0.7)], -1)
+        xyd = ud.distort_fisheye(xy, dist)
+        rec = ud.undistort_points_normalized(xyd, dist, "OPENCV_FISHEYE")
+        np.testing.assert_allclose(rec, xy, atol=1e-9)
+        ref = cv2.fisheye.undistortPoints(
+            xyd.reshape(-1, 1, 2).astype(np.float64), np.eye(3),
+            dist.reshape(4, 1)).reshape(-1, 2)
+        np.testing.assert_allclose(rec, ref, atol=1e-9)
+
     def test_matches_cv2_undistort_points(self):
         rng = np.random.default_rng(1)
         pts = rng.uniform([5, 5], [W - 5, H - 5], size=(50, 2))
@@ -150,3 +166,25 @@ class TestFrameRecipe:
             ud.undistort_frame(
                 {}, {"w": W, "h": H, "fl_x": 1, "fl_y": 1, "cx": 0,
                      "cy": 0, "camera_model": "PANORAMA"})
+
+    def test_repo_wai_key_interop(self):
+        # accepts this repo's fx/fy spelling and emits BOTH spellings, so
+        # the output meta round-trips through wai.get_intrinsics
+        from mapanything_tpu.data.wai import get_intrinsics
+
+        meta = {
+            "w": W, "h": H, "fx": K[0, 0], "fy": K[1, 1],
+            "cx": K[0, 2], "cy": K[1, 2],
+            "camera_model": "OPENCV",
+            "k1": DIST_CV[0], "k2": DIST_CV[1],
+            "p1": DIST_CV[2], "p2": DIST_CV[3], "k3": DIST_CV[4],
+        }
+        img = np.zeros((H, W, 3), np.uint8)
+        _, new_meta = ud.undistort_frame({"image": img}, meta)
+        assert new_meta["fx"] == new_meta["fl_x"]
+        K_rt = get_intrinsics(new_meta, {})
+        assert K_rt[0, 0] == np.float32(new_meta["fx"])
+        # and the reader accepts reference-WAI fl_x-only metas too
+        fl_only = {k: v for k, v in new_meta.items()
+                   if k not in ("fx", "fy")}
+        np.testing.assert_array_equal(get_intrinsics(fl_only, {}), K_rt)
