@@ -32,7 +32,9 @@ try:
     _cache = os.path.expanduser("~/.cache/mapanything_tpu_xla_tests")
     os.makedirs(_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # 0.5 s threshold: the suite is hundreds of 0.5-2 s tiny-model compiles
+    # on a 1-core box — caching them is where most of the repeat-run win is
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     jax.config.update("jax_persistent_cache_enable_xla_caches",
                       "xla_gpu_per_fusion_autotune_cache_dir")
 except Exception:

@@ -183,6 +183,14 @@ def _assert_close(ours, ref, rtol=1e-9):
     np.testing.assert_allclose(float(ours), ref, rtol=rtol, atol=1e-11)
 
 
+def _run(criterion, batch, preds):
+    """Criterion total under jit: eager dispatch of the composite criteria
+    graphs costs seconds per call on this 1-core box; the compiled program
+    lands in conftest's persistent cache, so warm suite runs pay ~nothing.
+    """
+    return jax.jit(lambda b, p: criterion(b, p)[0])(batch, preds)
+
+
 class TestBareCriteria:
     """Bare set criteria (reduction='mean' path, flatten=False)."""
 
@@ -191,7 +199,7 @@ class TestBareCriteria:
         ref = ref_losses.Regr3D(ref_losses.L2Loss(), norm_mode="?avg_dis",
                                 loss_in_log=True)
         ours = C.Regr3D(C.L2Loss(), norm_mode="?avg_dis", loss_in_log=True)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_regr3d_norm_all_no_log(self, ref_losses, data):
@@ -199,7 +207,7 @@ class TestBareCriteria:
         ref = ref_losses.Regr3D(ref_losses.L1Loss(), norm_mode="avg_dis",
                                 loss_in_log=False)
         ours = C.Regr3D(C.L1Loss(), norm_mode="avg_dis", loss_in_log=False)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_regr3d_gt_scale(self, ref_losses, data):
@@ -207,7 +215,7 @@ class TestBareCriteria:
         ref = ref_losses.Regr3D(ref_losses.L2Loss(), norm_mode="?avg_dis",
                                 gt_scale=True)
         ours = C.Regr3D(C.L2Loss(), norm_mode="?avg_dis", gt_scale=True)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_points_plus_scale(self, ref_losses, data):
@@ -217,7 +225,7 @@ class TestBareCriteria:
         )
         ours = C.PointsPlusScaleRegr3D(C.L2Loss(), norm_mode="avg_dis",
                                        loss_in_log=True)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_factored_geometry(self, ref_losses, data):
@@ -226,7 +234,7 @@ class TestBareCriteria:
                   compute_world_frame_points_loss=True)
         ref = ref_losses.FactoredGeometryRegr3D(ref_losses.L2Loss(), **kw)
         ours = C.FactoredGeometryRegr3D(C.L2Loss(), **kw)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_factored_geometry_scale(self, ref_losses, data):
@@ -240,7 +248,7 @@ class TestBareCriteria:
         ours = C.FactoredGeometryScaleRegr3D(
             C.RobustRegressionLoss(**crit), **kw
         )
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_factored_geometry_scale_pairwise_pose(self, ref_losses, data):
@@ -250,7 +258,7 @@ class TestBareCriteria:
         ref = ref_losses.FactoredGeometryScaleRegr3D(ref_losses.L1Loss(),
                                                      **kw)
         ours = C.FactoredGeometryScaleRegr3D(C.L1Loss(), **kw)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_disentangled(self, ref_losses, data):
@@ -261,7 +269,7 @@ class TestBareCriteria:
             ref_losses.L2Loss(), **kw
         )
         ours = C.DisentangledFactoredGeometryScaleRegr3D(C.L2Loss(), **kw)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_factored_lloss_dispatch(self, ref_losses, data):
@@ -271,7 +279,7 @@ class TestBareCriteria:
         )
         ours = C.FactoredGeometryScaleRegr3D(C.FactoredLLoss(),
                                              norm_mode="avg_dis")
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
 
@@ -297,7 +305,7 @@ class TestWrappers:
         ref_p, ours_p = self._pixel(ref_losses)
         ref = ref_losses.ConfLoss(ref_p, alpha=0.2, loss_set_indices=[0])
         ours = C.ConfLoss(ours_p, alpha=0.2, loss_set_indices=[0])
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_conf_loss_multiple_sets(self, ref_losses, data):
@@ -305,7 +313,7 @@ class TestWrappers:
         ref_p, ours_p = self._pixel(ref_losses)
         ref = ref_losses.ConfLoss(ref_p, alpha=0.5, loss_set_indices=[0, 2])
         ours = C.ConfLoss(ours_p, alpha=0.5, loss_set_indices=[0, 2])
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_exclude_top_n(self, ref_losses, data):
@@ -319,7 +327,7 @@ class TestWrappers:
             ours_p, top_n_percent=5, apply_to_real_data_only=True,
             loss_set_indices=[1, 2],
         )
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_exclude_top_n_all_data(self, ref_losses, data):
@@ -333,7 +341,7 @@ class TestWrappers:
             ours_p, top_n_percent=20, apply_to_real_data_only=False,
             loss_set_indices=[0],
         )
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_conf_and_exclude(self, ref_losses, data):
@@ -344,7 +352,7 @@ class TestWrappers:
                   exclude_loss_set_indices=[1, 2])
         ref = ref_losses.ConfAndExcludeTopNPercentPixelLoss(ref_p, **kw)
         ours = C.ConfAndExcludeTopNPercentPixelLoss(ours_p, **kw)
-        _assert_close(ours(batch, preds)[0],
+        _assert_close(_run(ours, batch, preds),
                       _ref_total(ref, ref_batch, ref_preds))
 
     def test_non_ambiguous_mask(self, ref_losses, data):
@@ -357,7 +365,7 @@ class TestWrappers:
             ref_total = sum(x[0] for x in ref_total)
         # torch's fused BCE-with-logits differs from the log1p(exp)
         # formulation by ~1e-8 even in f64
-        _assert_close(ours(batch, preds)[0], float(ref_total), rtol=1e-6)
+        _assert_close(_run(ours, batch, preds), float(ref_total), rtol=1e-6)
 
 
 class TestComposition:
@@ -375,7 +383,7 @@ class TestComposition:
         # reference NonAmbiguousMaskLoss returns a Sum of scalars handled by
         # MultiLoss.forward; Regr3D with reduction 'mean' returns a scalar.
         # BCE tolerance as in test_non_ambiguous_mask.
-        _assert_close(ours(batch, preds)[0], float(ref_loss), rtol=1e-6)
+        _assert_close(_run(ours, batch, preds), float(ref_loss), rtol=1e-6)
 
     def test_released_recipe(self, ref_losses, data):
         """The full released training criterion, end to end
@@ -400,7 +408,7 @@ class TestComposition:
 
         ours = C.released_criterion()
         ref_loss, _ = ref(ref_batch, ref_preds)
-        ours_loss, details = ours(batch, preds)
+        ours_loss, details = jax.jit(ours)(batch, preds)
         _assert_close(ours_loss, float(ref_loss), rtol=1e-8)
         assert details  # per-term diagnostics populated
 

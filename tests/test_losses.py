@@ -110,7 +110,7 @@ class TestFactoredLoss:
         preds = dict(preds)
         preds["depth_along_ray"] = preds["depth_along_ray"] * 1.3
         preds["pts3d_cam"] = preds["ray_directions"] * preds["depth_along_ray"]
-        total, details = overall_loss(gt, preds)
+        total, details = jax.jit(overall_loss)(gt, preds)
         assert np.isfinite(float(total))
         assert float(total) > 0
         # >2 views: 2/n scaling applied
@@ -260,7 +260,7 @@ class TestNormalGM:
         preds = perfect_preds(gt)
         preds = dict(preds)
         preds["pts3d_cam"] = preds["pts3d_cam"] * 1.2
-        total, details = overall_loss(gt, preds)
+        total, details = jax.jit(overall_loss)(gt, preds)
         normal_keys = [k for k in details if "_normal_" in k]
         gm_keys = [k for k in details if "_gradient_matching_" in k]
         assert normal_keys and gm_keys

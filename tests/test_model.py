@@ -260,11 +260,19 @@ class TestPipeline:
         b, v = 1, 4
         imgs = jnp.asarray(rng.normal(size=(b, v, H, W, 3)).astype(np.float32))
         preds = model.apply(params, {"img": imgs}, images_only_config())
+        import functools
+
         kw = dict(apply_mask=True, mask_edges=True,
                   apply_confidence_mask=True)
-        ref = postprocess_outputs(preds, imgs, **kw)
-        for chunk in (2, 3):  # 3 -> divisor fallback to 2
-            out = postprocess_outputs(preds, imgs, view_chunk=chunk, **kw)
+        # jit both variants — eager postprocess dispatches its whole op
+        # graph per call (InferencePipeline always jits this in production)
+        ref = jax.jit(functools.partial(postprocess_outputs, **kw))(
+            preds, imgs)
+        # chunk=3 exercises the divisor fallback (->2) AND the chunked
+        # path in one compile; chunk=2 would recompile the same graph
+        for chunk in (3,):
+            out = jax.jit(functools.partial(
+                postprocess_outputs, view_chunk=chunk, **kw))(preds, imgs)
             assert set(out) == set(ref)
             for k in ref:
                 # rtol: the intrinsics recovery reduces over pixels, and

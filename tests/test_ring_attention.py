@@ -88,6 +88,9 @@ class TestBlockIntegration:
     attn_impl="ring:model", and the sharded outputs match the unsharded
     Block exactly."""
 
+    @pytest.mark.slow  # ~18 s interpret-mode; the default path keeps the
+    # full-pipeline fwd parity (TestViewShardedPipeline) and kernel-level
+    # ring parity (TestRing)
     def test_block_ring_matches_unsharded(self):
         try:
             from jax import shard_map
@@ -345,6 +348,9 @@ class TestRingGlobalBlockTraining:
     ablations) is differentiable: param gradients under the ring match the
     plain Block's."""
 
+    @pytest.mark.slow  # ~85 s of interpret-mode ring backwards; the
+    # kernel-level grads parity (TestRingBackward) stays in the default
+    # path
     def test_block_grads_match(self):
         try:
             from jax import shard_map
@@ -404,6 +410,8 @@ class TestRingWithLse:
     flow — this is the primitive behind scale-token sequence-parallel
     training."""
 
+    @pytest.mark.slow  # ~37 s; subsumed by TestRingBackward (default) +
+    # the slow token-training variant below
     def test_out_and_lse_grads_match_jnp(self):
         try:
             from jax import shard_map

@@ -98,9 +98,12 @@ def _fake_preds(gt, seed):
 def test_view_sharded_loss_matches_unsharded(use_normal_gm, pairwise):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
-    mesh = make_mesh(n_data=1, n_model=8)
+    # 4 views over a 4-way mesh (1 view/shard — the tightest sharding):
+    # same cross-shard reductions as 8-way at roughly half the compile
+    # cost on this 1-core box (the per-view scalar loop unrolls over v)
+    mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
 
-    batch = make_synthetic_batch(batch_size=2, num_views=8, height=14,
+    batch = make_synthetic_batch(batch_size=2, num_views=4, height=14,
                                  width=14, seed=20)
     gt = batch["gt"]
     # exercise the real-data exclusion path for one sample
@@ -119,14 +122,17 @@ def test_view_sharded_loss_matches_unsharded(use_normal_gm, pairwise):
         ),
     )
 
-    ref_total, ref_details = overall_loss(gt, preds, cfg)
+    # jit both sides: eager dispatch of the composite loss's thousands of
+    # small ops costs tens of seconds on this 1-core box
+    ref_total, ref_details = jax.jit(
+        lambda g, p: overall_loss(g, p, cfg))(gt, preds)
 
     def local(gt_l, preds_l):
         return view_sharded_overall_loss(gt_l, preds_l, cfg,
                                          axis_name="model")
 
-    fn = _smap(local, mesh,
-               (_shard_specs(gt), _shard_specs(preds)), (P(), P()))
+    fn = jax.jit(_smap(local, mesh,
+                       (_shard_specs(gt), _shard_specs(preds)), (P(), P())))
     got_total, got_details = fn(gt, preds)
 
     np.testing.assert_allclose(float(got_total), float(ref_total),
@@ -207,7 +213,9 @@ def test_stochastic_geom_runs_finite():
     stream-dependent, so only finiteness is asserted)."""
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")
-    mesh = make_mesh(n_data=1, n_model=8)
+    # 4-way mesh, 2 views/shard: the per-shard Bernoulli fold and ring
+    # train step compile at half the 8-way cost (finiteness-only check)
+    mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
 
     from mapanything_tpu.models import aug_training_config
     from mapanything_tpu.train import OptimConfig, create_train_state
