@@ -40,10 +40,17 @@ try:
 except Exception:
     pass
 
+import gc  # noqa: E402
 import pathlib  # noqa: E402
 import sys  # noqa: E402
 
 import pytest  # noqa: E402
+
+# The suite holds hundreds of compiled executables + traced graphs alive;
+# default gen-0 GC (threshold 700) then scans that growing heap thousands
+# of times over a run. Raise the thresholds — jax/numpy buffers are
+# refcounted, cycles are rare, and full collections still happen.
+gc.set_threshold(100_000, 100, 100)
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
