@@ -159,16 +159,25 @@ def estimate_new_intrinsics(
         f = f_in * (1 - balance) + f_out * balance
         return np.array([[f, 0, w / 2.0], [0, f, h / 2.0], [0, 0, 1.0]])
 
-    def focal(x0, x1, y0, y1):
+    def focal(x0, x1, y0, y1, rule):
         fx = (w - 1) / max(x1 - x0, 1e-9)
         fy = (h - 1) / max(y1 - y0, 1e-9)
-        return min(fx, fy)
+        return rule(fx, fy)
 
-    f_in = focal(in_x_min, in_x_max, in_y_min, in_y_max)
-    f_out = focal(x_min, x_max, y_min, y_max)
+    # balance=0: output must fit INSIDE the inscribed box on BOTH axes ->
+    # the tighter (max) focal; balance=1: output must CONTAIN the
+    # circumscribed box -> the looser (min) focal. The principal point
+    # follows the matching box midpoint (they differ under asymmetric
+    # distortion), blended by balance.
+    f_in = focal(in_x_min, in_x_max, in_y_min, in_y_max, max)
+    f_out = focal(x_min, x_max, y_min, y_max, min)
     f = f_in * (1 - balance) + f_out * balance
-    cx = -0.5 * (x_min + x_max) * f + (w - 1) / 2
-    cy = -0.5 * (y_min + y_max) * f + (h - 1) / 2
+    mx = (1 - balance) * 0.5 * (in_x_min + in_x_max) \
+        + balance * 0.5 * (x_min + x_max)
+    my = (1 - balance) * 0.5 * (in_y_min + in_y_max) \
+        + balance * 0.5 * (y_min + y_max)
+    cx = -mx * f + (w - 1) / 2
+    cy = -my * f + (h - 1) / 2
     return np.array([[f, 0, cx], [0, f, cy], [0, 0, 1.0]])
 
 
@@ -222,6 +231,13 @@ def remap(
     """Sample `image` at (map_y, map_x) per output pixel (cv2.remap's
     contract): bilinear or nearest, constant or reflect-101 borders."""
     h, w = image.shape[:2]
+    if image.dtype == np.bool_:
+        # np.iinfo(bool) raises in the integer round/clip path; resample
+        # as uint8 {0,255} and re-threshold (cv2.remap rejects bool too)
+        out = remap(image.astype(np.uint8) * 255, map_x, map_y,
+                    interpolation, border, border_value=255.0
+                    if border_value else 0.0)
+        return out >= 128
     chan = image.ndim == 3
     img = image if chan else image[..., None]
 
@@ -311,6 +327,12 @@ def undistort_frame(
         if "mask" in name:
             u8 = (np.asarray(data).astype(np.uint8) * 255
                   if data.dtype == bool else np.asarray(data, np.uint8))
+            # 255 border fill + <255 -> 0 threshold is the reference's
+            # exact recipe (undistort.py:214-216). At the default
+            # balance=0 every output pixel is backed by source content
+            # (estimate_new_intrinsics inscribed-box focal), so the fill
+            # is unreachable; at balance>0 unbacked corners inherit the
+            # reference's valid-fill semantics.
             r = remap(u8, map_x, map_y, "linear", "constant", 255.0)
             r = np.where(r < 255, 0, 255).astype(np.uint8)
             out[name] = r if data.dtype != bool else r > 0

@@ -253,9 +253,19 @@ def predictions_to_glb_scene(
         import matplotlib
 
         cmap = matplotlib.colormaps["gist_rainbow"]
-        span = np.linalg.norm(
-            np.percentile(world.reshape(-1, 3), 95, axis=0)
-            - np.percentile(world.reshape(-1, 3), 5, axis=0))
+        # percentiles over the MASKED points only (reference viz.py:257-270
+        # masks before computing scene_scale) — postprocess zeroes masked
+        # pixels, which would otherwise drag the 5th/95th percentiles to 0
+        # in sky-heavy scenes and shrink the markers to invisibility
+        kept = np.concatenate(
+            [world[i].reshape(-1, 3)[frame_mask(i).reshape(-1)]
+             for i in frames]) if len(list(frames)) else np.zeros((0, 3))
+        if len(kept) == 0:
+            span = 1.0
+        else:
+            span = float(np.linalg.norm(
+                np.percentile(kept, 95, axis=0)
+                - np.percentile(kept, 5, axis=0)))
         for i in range(s):
             v, f = _mesh.camera_marker_mesh(
                 extr[i], scale=0.03 * max(span, 1e-6))
@@ -268,7 +278,8 @@ def predictions_to_glb_scene(
         base = 0
         for i in frames:
             faces, verts, cols = _mesh.image_mesh(
-                world[i], imgs[i], mask=frame_mask(i), tri=True)
+                world[i], imgs[i], mask=frame_mask(i), tri=True,
+                diagonal_attr=0)
             all_v.append(verts)
             all_f.append(faces + base)
             all_c.append(cols)

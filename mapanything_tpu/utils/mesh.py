@@ -96,6 +96,7 @@ def image_mesh(
     *pixel_attrs: np.ndarray,
     mask: Optional[np.ndarray] = None,
     tri: bool = False,
+    diagonal_attr: Optional[int] = None,
     return_indices: bool = False,
 ) -> Tuple[np.ndarray, ...]:
     """Mesh an image grid: pixels are vertices, 2x2 neighborhoods are
@@ -104,6 +105,11 @@ def image_mesh(
 
     Args: any number of (H, W, [C]) per-pixel attribute maps — each is
     returned flattened to per-vertex rows in the same order.
+    ``diagonal_attr``: index of the attribute (typically the 3-D
+    pointmap) used to split each quad along its shorter 3-D diagonal —
+    avoids sliver triangles across depth jumps. Default None matches
+    the reference exactly (its tri=True path fan-splits every quad,
+    hf_utils/viz.py:136,147).
     """
     if not pixel_attrs and mask is None:
         raise ValueError("need at least one attribute map or a mask")
@@ -113,9 +119,16 @@ def image_mesh(
             raise ValueError("attribute maps must share (H, W)")
     faces = grid_quad_faces(h, w)
     flat = [a.reshape(h * w, *a.shape[2:]) for a in pixel_attrs]
+    split_verts = None
+    if diagonal_attr is not None:
+        if not tri:
+            raise ValueError("diagonal_attr requires tri=True")
+        split_verts = np.asarray(flat[diagonal_attr], np.float32)
+        if split_verts.ndim != 2 or split_verts.shape[-1] != 3:
+            raise ValueError("diagonal_attr must index an (H, W, 3) map")
     if mask is None:
         if tri:
-            faces = triangulate(faces)
+            faces = triangulate(faces, vertices=split_verts)
         out = [faces, *flat]
         if return_indices:
             out.append(np.arange(h * w, dtype=np.int32))
@@ -124,7 +137,7 @@ def image_mesh(
                  & mask[1:, 1:] & mask[:-1, 1:])
     faces = faces[corner_ok.reshape(-1)]
     if tri:
-        faces = triangulate(faces)
+        faces = triangulate(faces, vertices=split_verts)
     return compact_vertices(faces, *flat, return_indices=return_indices)
 
 

@@ -75,6 +75,30 @@ class TestImageMesh:
         tris = mesh_mod.triangulate(faces, vertices=vertices)
         np.testing.assert_array_equal(tris, [[0, 1, 2], [0, 2, 3]])
 
+    def test_diagonal_attr_splits_by_3d_distance(self):
+        """image_mesh(diagonal_attr=0) must actually route the pointmap
+        into triangulate — regression: tri=True used to fan-split every
+        quad regardless, leaving the shorter-diagonal path dead."""
+        pts = np.zeros((2, 2, 3), np.float32)
+        pts[1, 1] = [5, 5, 0]  # stretches diagonal 0-3 (indices 0 and 3)
+        faces, _ = mesh_mod.image_mesh(pts, tri=True, diagonal_attr=0)
+        # quad order is [0, 2, 3, 1] (col-major grid): corners 0 and 3
+        # are the quad's 0-2 diagonal; it is the LONG one here, so the
+        # split must use the other diagonal (backslash False pattern)
+        quad = mesh_mod.grid_quad_faces(2, 2)[0]
+        d02 = np.linalg.norm(pts.reshape(-1, 3)[quad[0]]
+                             - pts.reshape(-1, 3)[quad[2]])
+        d13 = np.linalg.norm(pts.reshape(-1, 3)[quad[1]]
+                             - pts.reshape(-1, 3)[quad[3]])
+        expect = (quad[[0, 1, 2, 0, 2, 3]] if d02 < d13
+                  else quad[[0, 1, 3, 3, 1, 2]]).reshape(2, 3)
+        np.testing.assert_array_equal(faces, expect)
+        # fan split (reference parity default) differs for this quad
+        fan, _ = mesh_mod.image_mesh(pts, tri=True)
+        assert not np.array_equal(fan, faces)
+        with pytest.raises(ValueError, match="tri=True"):
+            mesh_mod.image_mesh(pts, diagonal_attr=0)
+
     def test_triangulate_fan_pentagon(self):
         tris = mesh_mod.triangulate(np.array([[4, 5, 6, 7, 8]]))
         np.testing.assert_array_equal(
@@ -245,6 +269,39 @@ class TestDemoCore:
         # conf filter keeps ~half the unmasked points
         total = preds["final_mask"].sum()
         assert n < total
+
+    def test_marker_scale_ignores_masked_zeros(self, tmp_path):
+        """Regression: the camera-marker span took percentiles over ALL
+        world points; postprocess zeroes masked pixels, so sky-heavy
+        scenes (>45% masked) collapsed the span toward 0 and the markers
+        rendered microscopically. The span must come from kept points."""
+        preds = synthetic_predictions()
+        # push the scene away from the origin and mask 60% of it to zeros
+        preds["world_points"] = preds["world_points"] + 10.0
+        rng = np.random.default_rng(9)
+        masked = rng.uniform(size=preds["final_mask"].shape) < 0.6
+        preds["final_mask"] = preds["final_mask"] & ~masked
+        preds["world_points"][masked] = 0.0  # what postprocess emits
+
+        path = str(tmp_path / "masked.glb")
+        dc.predictions_to_glb_scene(path, preds, as_mesh=True)
+        gltf, buf = parse_glb(path)
+        # marker meshes are the last 2; recover their vertex spread from
+        # the accessor min/max (glTF requires them for POSITION)
+        spans = []
+        for m in gltf["meshes"][-2:]:
+            acc = gltf["accessors"][
+                m["primitives"][0]["attributes"]["POSITION"]]
+            spans.append(np.linalg.norm(
+                np.array(acc["max"]) - np.array(acc["min"])))
+        kept = preds["world_points"][preds["final_mask"]]
+        scene_span = np.linalg.norm(np.percentile(kept, 95, 0)
+                                    - np.percentile(kept, 5, 0))
+        # markers are scale=0.03*span pyramids; with the bug the span was
+        # dominated by the zero cluster (dist-to-origin ~17), 3-10x larger
+        for s in spans:
+            assert s > 0.005 * scene_span, (s, scene_span)
+            assert s < 0.2 * scene_span, (s, scene_span)
 
     def test_glb_single_frame_filter(self, tmp_path):
         preds = synthetic_predictions()

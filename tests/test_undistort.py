@@ -88,6 +88,19 @@ class TestRemap:
         self.mx, self.my = ud.undistort_rectify_maps(
             K, DIST_CV, "OPENCV", (W, H))
 
+    def test_bool_mask_roundtrips(self):
+        """Regression: np.iinfo(bool) raised in the bilinear clip path."""
+        rng = np.random.default_rng(5)
+        mask = rng.uniform(size=(H, W)) > 0.4
+        for interp in ("linear", "nearest"):
+            out = ud.remap(mask, self.mx, self.my, interp, "constant", 0)
+            assert out.dtype == np.bool_ and out.shape == mask.shape
+        # identity maps reproduce the mask exactly
+        u, v = np.meshgrid(np.arange(W, dtype=np.float32),
+                           np.arange(H, dtype=np.float32))
+        np.testing.assert_array_equal(
+            ud.remap(mask, u, v, "linear", "constant", 0), mask)
+
     def test_linear_constant_matches_cv2(self):
         ours = ud.remap(self.img, self.mx, self.my, "linear", "constant", 0)
         ref = cv2.remap(self.img, self.mx, self.my,
@@ -130,6 +143,22 @@ class TestNewIntrinsics:
         k1 = ud.estimate_new_intrinsics(
             K, DIST_FE, "OPENCV_FISHEYE", (W, H), balance=1.0)
         assert k1[0, 0] <= k0[0, 0]  # wider view keeps more content
+
+    def test_balance0_backed_without_centered_pp(self):
+        """Regression: the non-centered branch used the min (looser)
+        focal for the inscribed box and always centered on the
+        circumscribed midpoint — under asymmetric (tangential) distortion
+        output pixels mapped outside the source at balance=0."""
+        dist = np.array([-0.25, 0.06, 0.004, -0.006, 0.0])  # p1/p2 != 0
+        for model, d in (("OPENCV", dist), ("OPENCV_FISHEYE", DIST_FE)):
+            new_K = ud.estimate_new_intrinsics(
+                K, d, model, (W, H), balance=0.0,
+                center_principal_point=False)
+            mx, my = ud.undistort_rectify_maps(
+                K, d, model, (W, H), new_K=new_K)
+            inside = ((mx >= -0.5) & (mx <= W - 0.5)
+                      & (my >= -0.5) & (my <= H - 0.5))
+            assert inside.mean() > 0.999, (model, inside.mean())
 
 
 class TestFrameRecipe:
