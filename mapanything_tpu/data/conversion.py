@@ -170,6 +170,10 @@ def colmap_to_wai(
             "covisibility needs dense depth (depth_source='external'); "
             "sparse point renders under-count overlap")
 
+    if not images:
+        raise ValueError(
+            f"{sparse_dir}: reconstruction registered zero images "
+            "(failed COLMAP run?) — nothing to convert")
     images = sorted(images, key=lambda im: im["name"])
     shared_cam = len({im["camera_id"] for im in images}) == 1
 

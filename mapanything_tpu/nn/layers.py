@@ -365,6 +365,7 @@ class RingGlobalBlock(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     entropy_scaling_base: Optional[int] = None
     interpret: bool = False
+    mlp_token_chunk: Optional[int] = None  # see Mlp.token_chunk
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, tok: jnp.ndarray):
@@ -388,7 +389,8 @@ class RingGlobalBlock(nn.Module):
         ln2 = FusedLayerNorm(epsilon=1e-6, dtype=self.dtype,
                              param_dtype=self.param_dtype, name="norm2")
         mlp = Mlp(int(self.dim * self.mlp_ratio), self.dim, dtype=self.dtype,
-                  param_dtype=self.param_dtype, name="mlp")
+                  param_dtype=self.param_dtype,
+                  token_chunk=self.mlp_token_chunk, name="mlp")
         hx, ht = mlp(ln2(x)), mlp(ln2(tok))
         if self.layerscale_init is not None:
             ls2 = LayerScale(self.dim, self.layerscale_init,

@@ -156,6 +156,7 @@ class AlternatingAttentionTrunk(nn.Module):
                         p if self.use_entropy_scaling else None
                     ),
                     interpret=_jax.default_backend() != "tpu",
+                    mlp_token_chunk=self.mlp_token_chunk,
                     name=f"layers_{i}",
                 )
                 x_flat, tok = blk(x.reshape(b, v * p, self.dim), tok)

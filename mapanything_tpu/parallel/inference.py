@@ -67,8 +67,8 @@ def view_sharded_forward(
     v = views["img"].shape[1]
     if v % size != 0:
         raise ValueError(
-            f"view count {v} must divide the '{seq_axis}' axis size {size}; "
-            "pad with duplicate views and slice the outputs"
+            f"view count {v} must be a multiple of the '{seq_axis}' axis "
+            f"size {size}; pad with duplicate views and slice the outputs"
         )
 
     ring_cfg = dataclasses.replace(model.cfg, trunk_seq_axis=seq_axis)

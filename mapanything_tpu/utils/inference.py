@@ -363,7 +363,7 @@ class InferencePipeline:
             view_shard_mesh: optional jax Mesh — forwards run view-sharded
                 over `seq_axis` (sequence-parallel ring attention,
                 parallel/inference.py), lifting the view ceiling to the
-                whole mesh. The view count must divide the axis size.
+                whole mesh. The view count must be a multiple of the axis size.
         """
         self.model = model
         self.params = params

@@ -49,10 +49,6 @@ def timed(fn, *args, iters=8):
     return (time.time() - t0) / iters
 
 
-# stage probes: encoder only, encoder+trunk (via intermediate taps), full
-enc = jax.jit(lambda p, v: model.apply(
-    p, v, geom, method=getattr(model, "encode", None) or None)) if hasattr(model, "encode") else None
-
 t_fwd = timed(fwd, params, views)
 preds = fwd(params, views)
 t_post = timed(lambda pr: post(pr, views["img"]), preds)

@@ -211,3 +211,43 @@ def test_distorted_camera_gets_friendly_error(scene, tmp_path):
     with pytest.raises(ValueError, match="undistort to PINHOLE first"):
         colmap_to_wai(cams_path.parent, scene["img_dir"],
                       tmp_path / "never")
+
+
+def test_layout_consistent_with_write_scene(scene, tmp_path):
+    """colmap_to_wai and wai.write_scene are two writers of the same
+    on-disk format (colmap_to_wai streams per-frame instead of buffering
+    the whole scene); this guards against the layouts drifting apart."""
+    from mapanything_tpu.data.wai import write_scene
+
+    conv = colmap_to_wai(scene["sparse"], scene["img_dir"],
+                         tmp_path / "conv_wai")
+    meta_c = load_scene_meta(conv / "scene_meta.json")
+
+    frames = [{
+        "frame_name": meta_c["frame_names"][0]
+        if isinstance(meta_c["frame_names"], list)
+        else next(iter(meta_c["frame_names"])),
+        "image": np.zeros((H, W, 3), np.uint8),
+        "depth": np.ones((H, W), np.float32),
+        "transform_matrix": np.eye(4),
+    }]
+    ws = write_scene(tmp_path / "ws_wai", frames,
+                     dict(fx=50.0, fy=50.0, cx=W / 2, cy=H / 2, w=W, h=H))
+    meta_w = load_scene_meta(ws / "scene_meta.json")
+
+    # identical structural contract: modality table entries, relative-path
+    # layout, frame record keys needed by load_frame
+    assert meta_c["frame_modalities"]["image"] == \
+        meta_w["frame_modalities"]["image"]
+    assert meta_c["frame_modalities"]["depth"] == \
+        meta_w["frame_modalities"]["depth"]
+    for meta, root in ((meta_c, conv), (meta_w, ws)):
+        fr = meta["frames"][0]
+        assert fr["image"].startswith("images/")
+        assert fr["depth"].split(".")[0].startswith("depth/")
+        name = (meta["frame_names"][0]
+                if isinstance(meta["frame_names"], list)
+                else next(iter(meta["frame_names"])))
+        loaded = load_frame(root, name, ["image", "depth"], scene_meta=meta)
+        assert loaded["image"].shape == (H, W, 3)
+        assert loaded["depth"].shape == (H, W)

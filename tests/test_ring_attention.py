@@ -82,6 +82,53 @@ class TestRing:
             ring_sdpa(q, k, v, mesh, seq_axis="model", interpret=True)
 
 
+class TestRingMlpChunk:
+    def test_chunked_mlp_matches_dense(self):
+        """RingGlobalBlock honors mlp_token_chunk (regression: the ring
+        branch dropped it, so memory_efficient sequence-parallel inference
+        lost MLP chunking on every global layer)."""
+        from mapanything_tpu.nn.layers import RingGlobalBlock
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >=4 CPU devices")
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh = make_mesh(n_data=1, n_model=4, devices=jax.devices()[:4])
+        dim, heads, n = 64, 2, 512
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.normal(size=(1, n, dim)).astype(np.float32))
+        tok = jnp.zeros((1, 0, dim), jnp.float32)
+
+        # same param tree as Block — init outside the mesh (psum-free);
+        # the dense Block doubles as the reference output, so only ONE
+        # ring program compiles (ring-vs-block parity is covered by
+        # TestRingGlobalBlockTraining)
+        from mapanything_tpu.nn.layers import Block
+
+        dense = Block(dim, heads, dtype=jnp.float32, attn_impl="xla")
+        params = dense.init(jax.random.PRNGKey(0), x[:, : n // 4])
+        ref_x = dense.apply(params, x)
+
+        blk = RingGlobalBlock(dim, heads, axis_name="model",
+                              dtype=jnp.float32, interpret=True,
+                              mlp_token_chunk=32)  # 128 local rows -> 4
+        kwargs = dict(mesh=mesh,
+                      in_specs=(P(), P(None, "model", None), P()),
+                      out_specs=(P(None, "model", None), P()))
+        try:
+            fn = shard_map(blk.apply, check_vma=False, **kwargs)
+        except TypeError:
+            fn = shard_map(blk.apply, check_rep=False, **kwargs)
+        got_x, got_t = fn(params, x, tok)
+        assert got_t.shape == (1, 0, dim)
+        np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref_x),
+                                   rtol=3e-4, atol=3e-5)
+
+
 class TestBlockIntegration:
     """The trunk's building Block runs with sequence-parallel attention
     unchanged: shard the token axis over the mesh, set
@@ -201,7 +248,7 @@ class TestViewShardedModel:
 
         mesh = make_mesh(n_data=1, n_model=8)
         model = MapAnything(cfg=MapAnythingConfig(encoder_size="test"))
-        with pytest.raises(ValueError, match="divide"):
+        with pytest.raises(ValueError, match="multiple of"):
             view_sharded_forward(
                 model, {}, {"img": jnp.zeros((1, 6, 28, 28, 3))}, mesh,
             )
