@@ -67,7 +67,14 @@ def read_exr(path: Union[str, Path]) -> np.ndarray:
     magic, version = struct.unpack_from("<ii", data, 0)
     if magic != _MAGIC:
         raise ValueError(f"not an EXR file: {path}")
+    # OpenEXR version flags: bit 9 (0x200) tiled, bit 11 (0x800) deep
+    # data, bit 12 (0x1000) multi-part — this reader handles single-part
+    # scanline files only (all the WAI pipeline writes/reads)
     if version & 0x200:
+        raise ValueError("tiled EXR not supported (scanline only)")
+    if version & 0x800:
+        raise ValueError("deep-data EXR not supported")
+    if version & 0x1000:
         raise ValueError("multi-part EXR not supported")
     pos = 8
 

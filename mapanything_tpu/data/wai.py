@@ -17,6 +17,7 @@ stays host-side); tensors are handed to JAX after batching.
 from __future__ import annotations
 
 import json
+import math
 import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Union
@@ -356,7 +357,9 @@ def get_frame(scene_meta: Dict[str, Any],
         frame = dict(scene_meta["frames"][idx])
         frame["_is_interpolated"] = False
         return frame
-    left = int(idx)
+    # floor, not int(): int(-0.5) == 0 would slip a negative key past the
+    # range check and EXTRApolate (negative slerp weight) instead of raising
+    left = math.floor(idx)
     if not 0 <= left < len(scene_meta["frames"]) - 1:
         raise IndexError(f"fractional frame key {idx} out of range")
     f1 = scene_meta["frames"][left]

@@ -47,6 +47,12 @@ def sdpa(
         # runs interpreted — use the XLA path there.
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if key_mask is not None:
+        if impl.startswith("ring"):
+            # the XLA fallback would silently attend to only the LOCAL
+            # k/v shard inside shard_map — wrong results, no error
+            raise NotImplementedError(
+                "key_mask is not supported with ring attention; gather the "
+                "masked keys locally or run the masked layer unsharded")
         return _sdpa_xla(q, k, v, key_mask=key_mask)
     if impl == "xla":
         return _sdpa_xla(q, k, v)

@@ -184,16 +184,30 @@ class BatchingEngine:
 
     # -- device owner ----------------------------------------------------------
     def _worker(self):
+        # Spilled (different-signature) requests wait here and are served
+        # BEFORE the shared queue: re-queuing them at the queue tail would
+        # let a sustained stream of one signature starve a minority
+        # signature indefinitely. With the deque, a spilled request is the
+        # head of the very next round.
+        pending: List[_Request] = []
         while not self._stop.is_set():
-            try:
-                head = self._q.get(timeout=0.25)
-            except queue.Empty:
-                continue
-            if head is None:
-                continue
+            if pending:
+                head = pending.pop(0)
+            else:
+                try:
+                    head = self._q.get(timeout=0.25)
+                except queue.Empty:
+                    continue
+                if head is None:
+                    continue
             group = [head]
             deadline = time.time() + self.max_wait_s
-            spill: List[_Request] = []
+            i = 0
+            while i < len(pending) and len(group) < self.max_batch:
+                if pending[i].key == head.key:
+                    group.append(pending.pop(i))
+                else:
+                    i += 1
             while len(group) < self.max_batch:
                 left = deadline - time.time()
                 if left <= 0:
@@ -207,9 +221,7 @@ class BatchingEngine:
                 if nxt.key == head.key:
                     group.append(nxt)
                 else:
-                    spill.append(nxt)  # different signature: next round
-            for r in spill:
-                self._q.put(r)
+                    pending.append(nxt)  # different signature: next round
             self._dispatch(group)
 
     def _dispatch(self, group: List[_Request]):

@@ -52,17 +52,18 @@ def main():
     from mapanything_tpu.serve import BatchingEngine, InferenceServer
     from mapanything_tpu.utils.inference import InferencePipeline
 
-    cfg = MapAnythingConfig(
-        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
-        fold_layerscale=args.checkpoint is not None,
-    )
-    model = MapAnything(cfg=cfg)
+    dtype = jnp.float32 if args.fp32 else jnp.bfloat16
     if args.checkpoint:
-        from mapanything_tpu.models.pretrained import load_params
+        # from_pretrained builds a (model, params) pair that agrees on the
+        # LayerScale layout — constructing the model separately with
+        # fold_layerscale=True over an unfolded checkpoint would silently
+        # drop every trained ls1/ls2 gamma
+        from mapanything_tpu.models.pretrained import from_pretrained
 
-        params = load_params(args.checkpoint)
+        model, params = from_pretrained(args.checkpoint, dtype=dtype)
         print(f"loaded checkpoint {args.checkpoint}")
     else:
+        model = MapAnything(cfg=MapAnythingConfig(dtype=dtype))
         h, w = 518, 518
         views = {"img": jnp.zeros((1, 2, h, w, 3), jnp.float32)}
         params = jit_init(model, jax.random.PRNGKey(0), views,

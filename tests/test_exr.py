@@ -2,6 +2,7 @@
 predictor/interleave against the scalar algorithm from the OpenEXR spec."""
 
 import numpy as np
+import pytest
 
 from mapanything_tpu.data.exr import (
     _zip_decode,
@@ -73,3 +74,16 @@ class TestExrRoundtrip:
         back = read_exr(p)
         assert np.isinf(back[0, 0]) and np.isnan(back[1, 1])
         assert np.array_equal(back[3:], d[3:])
+
+
+class TestUnsupportedVariants:
+    @pytest.mark.parametrize("flag,msg", [
+        (0x200, "tiled"), (0x800, "deep-data"), (0x1000, "multi-part"),
+    ])
+    def test_flagged_formats_rejected(self, tmp_path, flag, msg):
+        import struct
+
+        p = tmp_path / "bad.exr"
+        p.write_bytes(struct.pack("<ii", 20000630, 2 | flag))
+        with pytest.raises(ValueError, match=msg):
+            read_exr(p)

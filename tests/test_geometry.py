@@ -440,3 +440,9 @@ class TestSlerpAndInterp:
         assert not get_frame(meta, 1)["_is_interpolated"]
         np.testing.assert_allclose(get_extrinsics(meta, 0.25), np.eye(4),
                                    atol=1e-6)
+        # negative fractional keys must raise, not extrapolate
+        # (regression: int(-0.5) == 0 slipped past the range check)
+        with pytest.raises(IndexError):
+            get_frame(meta, -0.5)
+        with pytest.raises(IndexError):
+            get_frame(meta, 1.5)

@@ -273,3 +273,47 @@ class TestMetricScaleRequests:
         finally:
             srv.stop()
             del image_mod.RESOLUTION_MAPPINGS[43]
+
+
+class TestCheckpointServing:
+    def test_orbax_checkpoint_path(self, tmp_path):
+        """The scripts/serve.py --checkpoint recipe: save params, load via
+        from_pretrained (model+params built CONSISTENTLY — regression:
+        serve.py imported a nonexistent models.pretrained.load_params and
+        separately enabled fold_layerscale over unfolded params, silently
+        dropping every LayerScale gamma)."""
+        import pathlib
+
+        src = pathlib.Path("scripts/serve.py").read_text()
+        assert "from mapanything_tpu.models.pretrained import load_params" \
+            not in src
+        assert "fold_layerscale=args.checkpoint" not in src
+
+        import jax
+
+        from mapanything_tpu.models import images_only_config, jit_init
+        from mapanything_tpu.models.pretrained import from_pretrained
+        from mapanything_tpu.train.checkpoints import save_params
+
+        model = MapAnything(cfg=TINY)
+        views = {"img": jnp.zeros((1, 2, H, W, 3), jnp.float32)}
+        params = jit_init(model, jax.random.PRNGKey(0), views,
+                          images_only_config())
+        ckpt = tmp_path / "params_ckpt"
+        save_params(str(ckpt), params)
+
+        m2, p2 = from_pretrained(
+            str(ckpt), dtype=jnp.float32,
+            config_overrides={
+                f: getattr(TINY, f)
+                for f in ("encoder_size", "trunk_dim", "trunk_depth",
+                          "trunk_num_heads", "trunk_indices",
+                          "dpt_feature_dim", "dpt_out_channels",
+                          "dpt_hidden_dims")
+            })
+        out = jax.jit(lambda p, v: m2.apply(p, v, images_only_config()))(
+            p2, views)
+        ref = jax.jit(lambda p, v: model.apply(p, v, images_only_config()))(
+            params, views)
+        np.testing.assert_allclose(np.asarray(out["pts3d"]),
+                                   np.asarray(ref["pts3d"]), atol=0)
