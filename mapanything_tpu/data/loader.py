@@ -111,51 +111,92 @@ class DataLoader:
             for b in batches:
                 yield b if isinstance(b, list) else [b]
 
+        # Both queues are BOUNDED and everything honors `cancelled`: an
+        # abandoned iterator (e.g. `next(iter(loader))` to probe shapes)
+        # must tear its threads down instead of loading the whole epoch
+        # into memory for nobody and leaking workers for the process
+        # lifetime.
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch * self.num_workers)
-        in_q: "queue.Queue" = queue.Queue()
+        in_q: "queue.Queue" = queue.Queue(maxsize=2 * self.num_workers)
         stop = object()
+        cancelled = threading.Event()
+
+        def put_cancellable(q, item) -> bool:
+            while not cancelled.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        # total batch count is only known after the sampler is exhausted;
+        # the feeder publishes it here when done
+        n_total = [None]
+
+        def feeder():
+            try:
+                n = 0
+                for b in batch_lists():
+                    if not put_cancellable(in_q, (n, b)):
+                        return
+                    n += 1
+                n_total[0] = n
+                for _ in threads:
+                    put_cancellable(in_q, stop)
+            except Exception as e:  # sampler fault: surface, don't hang
+                put_cancellable(out_q, (-1, e))
 
         def worker():
-            while True:
-                item = in_q.get()
+            while not cancelled.is_set():
+                try:
+                    item = in_q.get(timeout=0.1)
+                except queue.Empty:
+                    continue
                 if item is stop:
-                    out_q.put(stop)
+                    put_cancellable(out_q, stop)
                     return
                 seq, payload = item
                 try:
-                    out_q.put((seq, self._load_batch(payload)))
+                    res = (seq, self._load_batch(payload))
                 except Exception as e:  # surface loader faults
-                    out_q.put((seq, e))
+                    res = (seq, e)
+                if not put_cancellable(out_q, res):
+                    return
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
+        feed = threading.Thread(target=feeder, daemon=True)
         for t in threads:
             t.start()
-        n_submitted = 0
-        for seq, b in enumerate(batch_lists()):
-            in_q.put((seq, b))
-            n_submitted += 1
-        for _ in threads:
-            in_q.put(stop)
+        feed.start()
 
-        # in-order delivery
-        pending: Dict[int, Dict] = {}
-        next_seq = 0
-        finished_workers = 0
-        while next_seq < n_submitted:
-            item = out_q.get()
-            if item is stop:
-                finished_workers += 1
-                if finished_workers == len(threads) and next_seq < n_submitted:
-                    raise RuntimeError("data loader workers exited early")
-                continue
-            seq, payload = item
-            if isinstance(payload, Exception):
-                raise payload
-            pending[seq] = payload
-            while next_seq in pending:
-                yield pending.pop(next_seq)
-                next_seq += 1
+        try:
+            # in-order delivery
+            pending: Dict[int, Dict] = {}
+            next_seq = 0
+            finished_workers = 0
+            while n_total[0] is None or next_seq < n_total[0]:
+                item = out_q.get()
+                if item is stop:
+                    finished_workers += 1
+                    if finished_workers == len(threads):
+                        if n_total[0] is None or next_seq < n_total[0]:
+                            raise RuntimeError(
+                                "data loader workers exited early")
+                        break
+                    continue
+                seq, payload = item
+                if isinstance(payload, Exception):
+                    raise payload
+                pending[seq] = payload
+                while next_seq in pending:
+                    yield pending.pop(next_seq)
+                    next_seq += 1
+        finally:
+            cancelled.set()
+            for t in [feed, *threads]:
+                t.join(timeout=2.0)
 
 
 def get_train_data_loader(dataset, max_num_of_imgs_per_gpu: int,

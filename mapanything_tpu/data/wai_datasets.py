@@ -107,6 +107,28 @@ def _nearest_resize_2d(x: np.ndarray, h: int, w: int) -> np.ndarray:
     return x[ri][:, ci]
 
 
+def _aspect_match_no_upscale(depth_hw, img_h: int, img_w: int):
+    """Target (h, w) for a depth map: the IMAGE's aspect ratio at a size
+    that never exceeds the depth's own resolution (reference
+    cropping.py:113 resize_with_nearest_interpolation_to_match_aspect_ratio).
+    """
+    dh, dw = int(depth_hw[0]), int(depth_hw[1])
+    aspect = img_w / img_h
+    h_keep_w = int(dw / aspect)   # option 1: keep width, adjust height
+    w_keep_h = int(dh * aspect)   # option 2: keep height, adjust width
+    if h_keep_w > dh and w_keep_h > dw:
+        scale = min(dh / img_h, dw / img_w)
+        return int(img_h * scale), int(img_w * scale)
+    if h_keep_w > dh:
+        return dh, w_keep_h
+    if w_keep_h > dw:
+        return h_keep_w, dw
+    # neither increases: keep the option preserving more pixels
+    if abs(dh * dw - dw * h_keep_w) < abs(dh * dw - w_keep_h * dh):
+        return h_keep_w, dw
+    return dh, w_keep_h
+
+
 class WAIDataset(BaseDataset):
     """One multi-view dataset over a WAI-format scene tree."""
 
@@ -183,9 +205,26 @@ class WAIDataset(BaseDataset):
             ih, iw = image.shape[:2]
             # clean non-finite depth (shared across all reference classes)
             depth = np.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0)
-            # MVS depth may be a different resolution than the image
-            # (dl3dv.py:145-158); nearest-resize it to the image grid
-            depth = _nearest_resize_2d(depth, ih, iw)
+            if depth.shape[:2] != (ih, iw):
+                # MVS depth at a different (lower) resolution: match the
+                # image's aspect ratio WITHOUT increasing depth resolution,
+                # then DOWNSIZE the image + intrinsics to the depth grid
+                # (dl3dv.py:143-158) — never train full-detail images
+                # against blocky nearest-upsampled depth
+                th, tw = _aspect_match_no_upscale(depth.shape[:2], ih, iw)
+                depth = _nearest_resize_2d(depth, th, tw)
+                import PIL.Image as _PIL
+
+                from .image import rescale_image_and_other_optional_info
+
+                pil, _, intrinsics, _ = (
+                    rescale_image_and_other_optional_info(
+                        _PIL.fromarray(image), (tw, th),
+                        camera_intrinsics=intrinsics))
+                image = np.asarray(pil)
+                ih, iw = image.shape[:2]
+                if depth.shape[:2] != (ih, iw):  # <=1 px rounding slack
+                    depth = _nearest_resize_2d(depth, ih, iw)
 
             # --- quirk pipeline, reference per-class order ---------------
             if spec.confidence_modality:  # dl3dv.py:162-171
@@ -200,19 +239,24 @@ class WAIDataset(BaseDataset):
                     np.asarray(data[spec.sky_mask_modality]).astype(bool),
                     ih, iw)
                 depth = np.where(sky, 0.0, depth)
+            non_ambiguous_mask = None
+            if spec.zero_depth_is_ambiguous and not spec.mask_modality:
+                # mvs_synth.py:129-130 — BEFORE the percentile zeroing:
+                # horizon pixels clipped by the outlier step stay
+                # non-ambiguous in the reference (only their depth is
+                # invalidated), they are not sky
+                non_ambiguous_mask = (depth > 0).astype(np.int32)
+
             if spec.depth_outlier_percentile is not None:
                 # horizon/transparency outliers (mvs_synth.py:132-135)
                 pct = np.percentile(depth, spec.depth_outlier_percentile)
                 depth = np.where(depth > pct, 0.0, depth)
 
-            non_ambiguous_mask = None
             if spec.mask_modality:  # moge2 mask (blendedmvs.py:131-140)
                 non_ambiguous_mask = _nearest_resize_2d(
                     np.asarray(data[spec.mask_modality]).astype(np.int32),
                     ih, iw)
                 depth = np.where(non_ambiguous_mask, depth, 0.0)
-            elif spec.zero_depth_is_ambiguous:  # mvs_synth.py:129-130
-                non_ambiguous_mask = (depth > 0).astype(np.int32)
 
             if non_ambiguous_mask is not None:
                 image, depth, intrinsics, extras = (

@@ -282,6 +282,15 @@ class CrossAttentionTrunk(AlternatingAttentionTrunk):
             ctx = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
             x_ref = ref_blk(x[:, 0], ctx, key_mask=other_mask[0])
             x_rest = other_blk(x[:, 1:], ctx, other_mask[1:])
+            if t:
+                # the extra (scale) token must be UPDATED through the
+                # layers like the other trunks do, or its output — and the
+                # metric scale predicted from it — is a constant
+                # independent of the input scene. It rides the ref-branch
+                # weights and attends to every view's tokens (the
+                # reference's cross configs never carry a scale token, so
+                # this combo is this framework's extension).
+                tok = ref_blk(tok, ctx, key_mask=None)
             x = jnp.concatenate([x_ref[:, None], x_rest], axis=1)
             if i in self.indices:
                 feat = x

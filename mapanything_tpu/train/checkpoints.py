@@ -38,8 +38,14 @@ def load_params(path: str, template: Optional[Any] = None) -> Any:
     return ckptr.restore(_abs(path))
 
 
-def save_train_state(path: str, state, best_so_far: float | None = None) -> None:
-    """Save the full training state (params + optimizer + step)."""
+def save_train_state(path: str, state, best_so_far: float | None = None,
+                     epoch: int | None = None) -> None:
+    """Save the full training state (params + optimizer + step).
+
+    ``epoch`` records the number of COMPLETED epochs; deriving it from
+    step//len(loader) on resume undercounts with the dynamic
+    views->batch-size sampler (its __len__ divides by the max batch size,
+    not the realized mix)."""
     tree = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -47,6 +53,8 @@ def save_train_state(path: str, state, best_so_far: float | None = None) -> None
     }
     if best_so_far is not None:
         tree["best_so_far"] = jax.numpy.asarray(best_so_far)
+    if epoch is not None:
+        tree["epoch"] = jax.numpy.asarray(epoch)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(_abs(path), tree, force=True)
     ckptr.wait_until_finished()
@@ -54,22 +62,32 @@ def save_train_state(path: str, state, best_so_far: float | None = None) -> None
 
 def load_train_state(path: str, state):
     """Restore a training state saved by save_train_state onto `state`'s
-    structure; returns (state, best_so_far or None)."""
+    structure; returns (state, best_so_far or None, epoch or None)."""
     template = {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": state.step,
     }
     ckptr = ocp.StandardCheckpointer()
-    try:
-        restored = ckptr.restore(_abs(path), {**template, "best_so_far": jax.numpy.zeros(())})
-        best = float(restored.pop("best_so_far"))
-    except Exception:
+    best = epoch = None
+    for extras in ({"best_so_far": jax.numpy.zeros(()),
+                    "epoch": jax.numpy.zeros((), jax.numpy.int32)},
+                   {"best_so_far": jax.numpy.zeros(())},
+                   {}):
+        try:
+            restored = ckptr.restore(_abs(path), {**template, **extras})
+            if "epoch" in extras:
+                epoch = int(restored.pop("epoch"))
+            if "best_so_far" in extras:
+                best = float(restored.pop("best_so_far"))
+            break
+        except Exception:
+            continue
+    else:
         restored = ckptr.restore(_abs(path), template)
-        best = None
     new_state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=restored["step"],
     )
-    return new_state, best
+    return new_state, best, epoch

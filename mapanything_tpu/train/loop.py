@@ -18,6 +18,7 @@ TPU specifics:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import json
 import os
 import sys
@@ -173,9 +174,15 @@ def train(
     last_path = os.path.join(loop_cfg.output_dir, "checkpoint-last")
     start_epoch = 0
     if loop_cfg.resume and os.path.isdir(last_path):
-        state, best_so_far = load_train_state(last_path, state)
-        # one "epoch" = len(train_loader) steps
-        start_epoch = int(state.step) // max(1, len(train_loader))
+        state, best_so_far, ckpt_epoch = load_train_state(last_path, state)
+        if ckpt_epoch is not None:
+            start_epoch = ckpt_epoch
+        else:
+            # legacy checkpoints without the epoch field: derive from the
+            # step count (exact for fixed batch sizes; the dynamic sampler
+            # yields more batches than len(), so this can over-skip —
+            # which is why new checkpoints store the epoch)
+            start_epoch = int(state.step) // max(1, len(train_loader))
         print(f"resumed from {last_path} at step {int(state.step)} "
               f"(epoch {start_epoch})")
 
@@ -198,7 +205,7 @@ def train(
                 best_so_far = median_val
                 save_train_state(
                     os.path.join(loop_cfg.output_dir, "checkpoint-best"),
-                    state, best_so_far,
+                    state, best_so_far, epoch=epoch,
                 )
                 print(f"epoch {epoch}: new best val loss {best_so_far:.4f}")
 
@@ -210,11 +217,11 @@ def train(
 
         # ---- checkpoints (training.py:237-285) ----
         if (epoch + 1) % loop_cfg.save_freq == 0:
-            save_train_state(last_path, state, best_so_far)
+            save_train_state(last_path, state, best_so_far, epoch=epoch + 1)
         if loop_cfg.keep_freq and (epoch + 1) % loop_cfg.keep_freq == 0:
             save_train_state(
                 os.path.join(loop_cfg.output_dir, f"checkpoint-{epoch}"),
-                state, best_so_far,
+                state, best_so_far, epoch=epoch + 1,
             )
     return state
 
@@ -287,9 +294,11 @@ def _global_batch(jbatch, mesh):
     return shard_batch(jbatch, mesh)
 
 
-def test_one_epoch(model, params, loader, loss_cfg, epoch=0, name="val"):
-    """Frozen-sample validation (training.py:575): deterministic geom config,
-    all priors off (images-only), median loss tracked."""
+@functools.lru_cache(maxsize=8)
+def _eval_step(model, loss_cfg):
+    """One jitted eval step per (model, loss_cfg) — defining the closure
+    inside test_one_epoch would defeat jax.jit's identity-keyed cache and
+    retrace/recompile the full model every epoch."""
     from ..models import images_only_config
     from .losses import overall_loss
 
@@ -298,6 +307,14 @@ def test_one_epoch(model, params, loader, loss_cfg, epoch=0, name="val"):
         preds = model.apply(params, batch["views"], images_only_config())
         total, details = overall_loss(batch["gt"], preds, loss_cfg)
         return total
+
+    return eval_step
+
+
+def test_one_epoch(model, params, loader, loss_cfg, epoch=0, name="val"):
+    """Frozen-sample validation (training.py:575): deterministic geom config,
+    all priors off (images-only), median loss tracked."""
+    eval_step = _eval_step(model, loss_cfg)
 
     loader.set_epoch(0)  # frozen val samples across epochs
     losses = []
@@ -323,9 +340,18 @@ def _dump_explosion(output_dir, batch, state, loss, epoch, it):
         for k, v in tree.items():
             flat[f"{grp}.{k}"] = np.asarray(v)
     np.savez(os.path.join(dump_dir, f"batch_e{epoch}_i{it}.npz"), **flat)
-    save_train_state(os.path.join(dump_dir, "checkpoint-debug"), state)
+    # NOTE: the pipelined tripwire checks step i after step i+1 dispatched,
+    # so this state is POST-explosion (one update past the dumped batch) —
+    # useful for inspecting the damage, but replay from clean weights must
+    # start from checkpoint-last (the reference dumps pre-step state,
+    # training.py:480-509; keeping a pre-step copy here would double
+    # param memory since the step donates its input state).
+    save_train_state(os.path.join(dump_dir, "checkpoint-post-explosion"),
+                     state)
     print(f"LOSS EXPLOSION ({loss}) at epoch {epoch} iter {it}; "
-          f"batch + debug checkpoint dumped to {dump_dir}", file=sys.stderr)
+          f"batch + POST-explosion checkpoint dumped to {dump_dir} "
+          "(replay from checkpoint-last for clean weights)",
+          file=sys.stderr)
     sys.exit(1)
 
 

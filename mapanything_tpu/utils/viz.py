@@ -18,6 +18,12 @@ def write_glb_pointcloud(path: str, points: np.ndarray, colors: np.ndarray
                          ) -> None:
     """points (N, 3) float32, colors (N, 3) float [0,1] or uint8."""
     points = np.ascontiguousarray(points, np.float32).reshape(-1, 3)
+    if len(points) == 0:
+        # glTF requires accessor.count >= 1, and min()/max() of an empty
+        # array raises — tell the user what filtered everything instead
+        raise ValueError(
+            "no points to export (all pixels masked out? lower the "
+            "confidence percentile / disable masking)")
     if colors.dtype != np.uint8:
         colors = (np.clip(colors, 0, 1) * 255).astype(np.uint8)
     colors = np.ascontiguousarray(colors).reshape(-1, 3)

@@ -185,6 +185,27 @@ class TestLoader:
         assert gt["valid_mask"].dtype == bool
         assert views["is_metric_scale"].shape == (bsz, 3)
 
+    def test_abandoned_iterator_tears_down_workers(self, wai_root):
+        """Regression: next(iter(loader)) (the train loop's shape probe)
+        used to leave worker threads alive loading the whole epoch for
+        nobody; closing the generator must stop them."""
+        import threading
+        import time
+
+        ds = make_ds(wai_root, num_views=2)
+        loader = get_train_data_loader(16 @ ds, max_num_of_imgs_per_gpu=4,
+                                       num_workers=2)
+        loader.set_epoch(0)
+        before = threading.active_count()
+        it = iter(loader)
+        first = next(it)
+        assert first["views"]["img"].ndim == 5
+        it.close()  # what garbage collection of the iterator does
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, "loader threads leaked"
+
     def test_batch_feeds_loss(self, wai_root):
         import jax.numpy as jnp
 
@@ -317,6 +338,11 @@ class TestQuirkPipeline:
         assert d.max() < 100.0  # horizon outliers removed
         nam = np.asarray(v["non_ambiguous_mask"])
         assert (nam[-2:, :] == 0).all()  # zero-depth rows are ambiguous
+        # percentile-clipped horizon pixels keep mask 1 (reference
+        # mvs_synth.py:129-135 computes the mask BEFORE the clip: their
+        # depth is invalidated but they are geometry, not sky)
+        assert nam[0, 0] == 1
+        assert d[0, 0] == 0.0
 
     def test_sky_mask(self, quirk_root):
         v = make_quirk_ds(quirk_root, "spring")[0][0]
@@ -326,7 +352,10 @@ class TestQuirkPipeline:
     def test_confidence_filter_and_lowres_mvs_depth(self, quirk_root):
         v = make_quirk_ds(quirk_root, "dl3dv")[0][0]
         d = np.asarray(v["depthmap"])[..., 0]
-        assert d.shape == (H, W)  # half-res MVS depth upsampled to image
+        # final view is the dataset's fixed resolution; internally the
+        # IMAGE was downsized to the half-res depth grid (dl3dv.py:143-158
+        # "ensure depth resolution doesn't increase"), not depth upsampled
+        assert d.shape == (H, W)
         assert (d[:, : W // 2][:, 8:] == 0).any() or (d[:, : W // 2] == 0).all()
         # low-confidence left half zeroed (moge strip is inside it too)
         assert (d[6:, : W // 2] == 0).all()

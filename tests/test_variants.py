@@ -242,6 +242,27 @@ class TestInfoSharingTypes:
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["grad_norm"]) > 0
 
+    def test_cross_scale_token_conditions_on_input(self):
+        """Regression: the cross trunk used the scale token as context
+        keys only and never updated it, so metric_scaling_factor was a
+        constant independent of the images."""
+        from mapanything_tpu.models import images_only_config
+
+        cfg = MapAnythingConfig(info_sharing_type="cross",
+                                **tiny_overrides())
+        model = MapAnything(cfg=cfg)
+        rng = np.random.default_rng(3)
+        a = {"img": jnp.asarray(
+            rng.normal(size=(1, 2, 28, 28, 3)).astype(np.float32) * 0.3)}
+        b = {"img": jnp.asarray(
+            rng.normal(size=(1, 2, 28, 28, 3)).astype(np.float32) * 0.3)}
+        params = jit_init(model, jax.random.PRNGKey(0), a,
+                          images_only_config())
+        fwd = japply(model, geom_cfg=images_only_config())
+        sa = float(fwd(params, a)["metric_scaling_factor"][0])
+        sb = float(fwd(params, b)["metric_scaling_factor"][0])
+        assert abs(sa - sb) > 1e-8, (sa, sb)
+
     def test_bad_type_rejected(self):
         cfg = MapAnythingConfig(info_sharing_type="ring", **tiny_overrides())
         model = MapAnything(cfg=cfg)
