@@ -47,7 +47,8 @@ def geotrf(trf: jnp.ndarray, pts: jnp.ndarray, ncol: int | None = None) -> jnp.n
     d = pts.shape[-1]
     ncol = ncol or d
     if trf.shape[-1] == d:
-        out = jnp.einsum("...ij,...j->...i", _expand(trf, pts, precision="highest"), pts)
+        out = jnp.einsum("...ij,...j->...i", _expand(trf, pts), pts,
+                         precision="highest")
     elif trf.shape[-1] == d + 1:
         lin = _expand(trf[..., :d, :d], pts)
         t = _expand(trf[..., :d, d], pts, mat=False)

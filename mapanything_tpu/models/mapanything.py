@@ -216,8 +216,11 @@ class _DenseHead(nn.Module):
         hdt = self.cfg.resolved_heads_dtype()
         hooks = [h.astype(hdt) for h in hooks]
         feat = DPTFeature(
-            input_feature_dims=(1024, self.cfg.trunk_dim, self.cfg.trunk_dim,
-                                self.cfg.trunk_dim),
+            # hook 0 is the raw encoder features; its channel dim follows
+            # the encoder type/size (flax Conv infers input channels, the
+            # field is declarative — keep it truthful)
+            input_feature_dims=(hooks[0].shape[-1], self.cfg.trunk_dim,
+                                self.cfg.trunk_dim, self.cfg.trunk_dim),
             feature_dim=self.cfg.dpt_feature_dim,
             out_channels=tuple(self.cfg.dpt_out_channels),
             dtype=hdt,  # fp32 island when heads_dtype resolves to fp32
@@ -257,6 +260,14 @@ class MapAnything(nn.Module):
         if not geom_cfg.deterministic() and rng is None:
             raise ValueError(
                 "stochastic GeometricInputConfig requires an rng key"
+            )
+        if geom_cfg.sparse_depth_prob > 0.0 and rng is None:
+            # prob 1.0 passes deterministic(), but WHICH pixels to drop is
+            # inherently random — silently skipping sparsification would
+            # feed dense depth through a config that says always-sparsify
+            raise ValueError(
+                "sparse_depth_prob > 0 requires an rng key (pixel "
+                "selection is random even at prob 1.0)"
             )
 
         # ------------------------------------------------------------------

@@ -75,8 +75,6 @@ def param_sharding(path: str, value, mesh: Mesh) -> NamedSharding:
 
 def shard_params(params, mesh: Mesh):
     """Place a parameter pytree on the mesh according to the TP rules."""
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-
     def path_str(kp):
         return "/".join(
             getattr(k, "key", getattr(k, "idx", str(k))) if not isinstance(k, str) else k
@@ -86,7 +84,6 @@ def shard_params(params, mesh: Mesh):
     def place(kp, x):
         return jax.device_put(x, param_sharding(path_str(kp), x, mesh))
 
-    del flat
     return jax.tree_util.tree_map_with_path(place, params)
 
 

@@ -7,7 +7,6 @@ from .losses import (
     OverallLossConfig,
     RobustRegressionLoss,
     bce_with_logits,
-    conf_and_exclude_top_n_loss,
     exclude_top_n_percent,
     factored_geometry_scale_regr3d,
     non_ambiguous_mask_loss,
@@ -37,7 +36,6 @@ __all__ = [
     "RobustRegressionLoss",
     "TrainState",
     "bce_with_logits",
-    "conf_and_exclude_top_n_loss",
     "cosine_schedule",
     "create_train_state",
     "exclude_top_n_percent",

@@ -339,54 +339,6 @@ def exclude_top_n_percent(
     return keep
 
 
-def conf_and_exclude_top_n_loss(
-    loss_sets: Dict[str, Dict[str, jnp.ndarray]],
-    conf: jnp.ndarray,  # (B, V, H, W)
-    conf_alpha: float = 0.2,
-    top_n_percent: float = 5.0,
-    conf_loss_set_indices: Tuple[int, ...] = (0,),
-    exclude_loss_set_indices: Tuple[int, ...] = (1, 2),
-    apply_to_real_data_only: bool = True,
-    is_synthetic: Optional[jnp.ndarray] = None,  # (B,) bool
-) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """ConfAndExcludeTopNPercentPixelLoss (losses.py:994): pixel set 0 gets
-    confidence weighting (loss*conf - alpha*log(conf), :767), sets 1-2 get
-    top-N% outlier exclusion (real data only), everything else is
-    masked-mean-reduced. Returns (total, per-term details)."""
-    b, v = conf.shape[:2]
-    conf_flat = conf.reshape(b, v, -1)
-    log_conf = jnp.log(conf_flat)
-
-    keep_all = None
-    if apply_to_real_data_only:
-        keep_all = (
-            is_synthetic
-            if is_synthetic is not None
-            else jnp.zeros((b,), dtype=bool)
-        )
-
-    total = 0.0
-    details: Dict[str, jnp.ndarray] = {}
-    for i, (name, term) in enumerate(loss_sets.items()):
-        loss, mask = term["loss"], term["mask"]
-        if term["type"] == "pixel" and i in conf_loss_set_indices:
-            conf_loss = loss * conf_flat - conf_alpha * log_conf
-            val = _masked_mean(conf_loss, mask)
-            details[f"{name}_conf_loss"] = val
-        elif term["type"] == "pixel" and i in exclude_loss_set_indices:
-            keep = exclude_top_n_percent(
-                loss, mask if mask is not None else jnp.ones_like(loss, bool),
-                top_n_percent, keep_all,
-            )
-            val = _masked_mean(loss, keep)
-            details[f"{name}_loss"] = val
-        else:
-            val = _masked_mean(loss, mask)
-            details[f"{name}_loss"] = val
-        total = total + val
-    return total, details
-
-
 def _smooth(err: jnp.ndarray, beta: float) -> jnp.ndarray:
     """Smooth-L1 shaping of angular errors (losses.py:101)."""
     if beta == 0:

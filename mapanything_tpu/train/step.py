@@ -79,10 +79,16 @@ def _group_label(path) -> str:
 def make_optimizer(cfg: OptimConfig, params) -> optax.GradientTransformation:
     schedule = cosine_schedule(cfg)
 
+    def _decay_mask(tree):
+        # the reference excludes biases and every 1-D tensor (LayerNorm/
+        # LayerScale gammas, pos embeds collapsed to vectors) from weight
+        # decay (train_tools.py get_parameter_groups :833-834)
+        return jax.tree_util.tree_map(lambda p: jnp.ndim(p) > 1, tree)
+
     def adamw(scale: float):
         return optax.chain(
             optax.scale_by_adam(b1=cfg.b1, b2=cfg.b2),
-            optax.add_decayed_weights(cfg.weight_decay),
+            optax.add_decayed_weights(cfg.weight_decay, mask=_decay_mask),
             optax.scale_by_learning_rate(
                 lambda step: schedule(step) * scale
             ),

@@ -495,6 +495,13 @@ class InferencePipeline:
 
 
 def _forward_only(params, batched, *, model, geom_cfg, memory_efficient):
+    # sparse-depth presets (registration_sparse) need randomness for the
+    # WHICH-pixels draw even at prob 1.0; a fixed key keeps inference
+    # reproducible (the reference uses unseeded torch.rand here,
+    # model.py:884-941)
+    rng = (jax.random.PRNGKey(0)
+           if geom_cfg.sparse_depth_prob > 0.0 else None)
     return model.apply(
-        params, batched, geom_cfg, memory_efficient=memory_efficient
+        params, batched, geom_cfg, rng=rng,
+        memory_efficient=memory_efficient
     )

@@ -123,10 +123,14 @@ def translation_angle(t_gt: np.ndarray, t_pred: np.ndarray,
                       default_err: float = 1e6) -> np.ndarray:
     """Angular error between translation directions (degrees), symmetric to
     sign ambiguity. Ref metrics.py translation_angle/compare_translation."""
-    n_gt = np.linalg.norm(t_gt, axis=-1)
-    n_pr = np.linalg.norm(t_pred, axis=-1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        cos = np.sum(t_gt * t_pred, axis=-1) / (n_gt * n_pr)
+    # eps-guarded normalization as the reference does
+    # (compare_translation_by_angle, metrics.py:392-398): a zero-norm
+    # translation (pure-rotation pair) yields cos=0 -> 90 deg, not NaN ->
+    # default_err
+    eps = 1e-15
+    n_gt = np.linalg.norm(t_gt, axis=-1, keepdims=True)
+    n_pr = np.linalg.norm(t_pred, axis=-1, keepdims=True)
+    cos = np.sum((t_gt / (n_gt + eps)) * (t_pred / (n_pr + eps)), axis=-1)
     ang = np.degrees(np.arccos(np.clip(np.abs(cos), -1.0, 1.0)))
     ang = np.where(np.isnan(ang) | np.isinf(ang), default_err, ang)
     return ang

@@ -163,6 +163,12 @@ class TestPointmaps:
         ours = G.geotrf(jnp.asarray(trf), jnp.asarray(pts))
         ref = ref_geometry.geotrf(t(trf), t(pts))
         allclose(ours, ref, atol=1e-5)
+        # square (d,d) linear branch (regression: precision kwarg was
+        # passed to _expand and this branch always raised TypeError)
+        rot = trf[:, :3, :3]
+        ours_sq = G.geotrf(jnp.asarray(rot), jnp.asarray(pts))
+        ref_sq = ref_geometry.geotrf(t(rot), t(pts))
+        allclose(ours_sq, ref_sq, atol=1e-5)
 
 
 class TestNorm:

@@ -89,3 +89,17 @@ class TestPoseMetrics:
         assert np.all(r < 0.05)
         auc, _ = M.calculate_auc_np(r, np.zeros_like(t), 30)
         assert auc > 0.96  # all errors in the first bin
+
+
+def test_translation_angle_zero_norm_is_90deg():
+    """A pure-rotation pair (zero relative translation) must score 90 deg
+    like the reference's eps-guarded compare_translation_by_angle
+    (metrics.py:392-398) — not the NaN->1e6 default path."""
+    z = np.zeros((3, 3))
+    ang = M.translation_angle(z, z)
+    np.testing.assert_allclose(ang, 90.0)
+    # and a genuine direction pair is unaffected
+    a = np.array([[1.0, 0, 0]])
+    b = np.array([[0.0, 1, 0]])
+    np.testing.assert_allclose(M.translation_angle(a, b), 90.0)
+    np.testing.assert_allclose(M.translation_angle(a, a), 0.0, atol=1e-3)

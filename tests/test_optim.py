@@ -109,3 +109,33 @@ def test_clipped_combined_norm_at_most_one():
     enc = float(optax.global_norm(clipped["params"]["encoder"]))
     rest = float(optax.global_norm(clipped["params"]["trunk"]))
     assert enc / rest == pytest.approx(30.0 / 40.0, rel=1e-5)
+
+
+def test_weight_decay_skips_1d_params():
+    """Reference get_parameter_groups (train_tools.py:833-834) gives 1-D
+    tensors and biases weight_decay=0; the optax chain must mask them."""
+    cfg = OptimConfig(lr=0.0, warmup_steps=0, total_steps=10,
+                      weight_decay=0.1)
+    params = {
+        "params": {
+            "trunk": {
+                "kernel": jnp.ones((3, 3), jnp.float32),
+                "bias": jnp.ones((3,), jnp.float32),
+            }
+        }
+    }
+    tx = make_optimizer(cfg, params)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, state, params)
+    # lr=0 -> scale_by_learning_rate zeroes everything INCLUDING the decay
+    # term; use a tiny lr instead to see the decay through
+    cfg = OptimConfig(lr=1.0, min_lr=1.0, warmup_steps=0, total_steps=10,
+                      weight_decay=0.1)
+    tx = make_optimizer(cfg, params)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    kernel_upd = updates["params"]["trunk"]["kernel"]
+    bias_upd = updates["params"]["trunk"]["bias"]
+    assert float(jnp.abs(kernel_upd).max()) > 0  # kernels decay
+    assert float(jnp.abs(bias_upd).max()) == 0  # 1-D params do not
