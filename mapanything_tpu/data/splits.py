@@ -11,14 +11,14 @@ on disk:
     is `seql % 10 == 0`, train the rest (the DUSt3R split logic quoted at
     data_splits.py:18-32 — the 1,500-line literal list is just this rule
     materialized);
-  * named lists — small published protocol constants (TartanAir V2 val/
-    test environments, MegaDepth + Spring DUSt3R val scenes,
-    data_splits.py:1559-1602; ETH3D is all-test :1725-1734);
-  * fraction rules — MPSD's 95/5 and the curated ScanNetPP/DL3DV
-    benchmark lists (data_splits.py:1603-1723; the latter load external
-    CSVs). Reproduced as a deterministic name-hash fraction so any subset
-    of the corpus splits consistently; drop curated lists in as
-    `val_scenes` overrides when available.
+  * named lists — published protocol constants carried verbatim
+    (TartanAir V2 val/test environments, MegaDepth + Spring DUSt3R val
+    scenes, data_splits.py:1559-1602; the curated ScanNetPP-V2 val/test
+    benchmark lists :1640-1700; ETH3D is all-test :1725-1734);
+  * fraction rules — MPSD's 95/5 (:1603-1616) and, for corpora with no
+    published list, a deterministic name-hash fraction. DL3DV's val split
+    is the external DL3DV-Benchmark CSV in the reference too
+    (:1709-1723) — `dl3dv_benchmark_rule()` loads a local copy.
 
 `build_scene_lists` writes the same `.npy` files `data/wai_datasets.py`
 reads, so splits materialize per-corpus exactly like the reference's
@@ -92,11 +92,66 @@ SPLIT_RULES: Dict[str, SplitRule] = {
     "spring": SplitRule(val_scenes=("0013", "0023", "0037")),  # :1594-1601
     "mpsd": SplitRule(val_fraction=0.05),  # :1603-1616 (95/5)
     "eth3d": SplitRule(all_test=True),  # :1725-1734
-    # ScanNetPP / DL3DV use curated benchmark lists in the reference
-    # (:1618-1723, loaded from external CSVs); reproduced as a 10% hash
-    # fraction — pass val_scenes overrides to pin the curated lists.
+    # ScanNetPP: the reference pins literal curated V2-only val/test scene
+    # lists (data_splits.py:1640-1700; category-b protocol constants,
+    # carried verbatim — the dense-N-view benchmark protocol is defined
+    # OVER this exact test split). Everything else trains.
+    "scannetpp": SplitRule(
+        val_scenes=(  # data_splits.py:1641-1672
+            "1c7a683c92", "2a1b555966", "3a43c7b8d2", "4aef651da7",
+            "06bc6d1b24", "7f22d5ef1b", "7f77abce34", "8ea517a2fc",
+            "29c7afafed", "41eb967018", "77b40ce601", "086f09d6e3",
+            "307e3262f1", "639f2c4d5a", "894dbd41f1", "898a7dfd0c",
+            "2779f8f9e2", "151178afd7", "182932a4f3", "635852d56e",
+            "9906136b57", "af112b8903", "b0f057c684", "b37177e6c8",
+            "b119249da7", "be8367fcbe", "c8fc01c453", "e1fb8626c8",
+            "e2caaaf5b5", "fe3fc057a1",
+        ),
+        test_scenes=(  # data_splits.py:1674-1700
+            "0e900bcc5c", "0eba3981c9", "1cbb105c6a", "3c8d535d49",
+            "5d902f1593", "6bd39ac392", "6c14d5fd01", "7c31a42404",
+            "9bfbc75700", "13b4efaf62", "062e5a23a6", "95b9971d01",
+            "246fe09e98", "637a27d04b", "725b8f0cba", "413085a827",
+            "696317583f", "a4c043ac48", "a9e4791c7e", "b0b004c40f",
+            "c3bc5e82c5", "c31ebd4b22", "cba701332a", "cc5ea8026c",
+            "cec8312f4e", "e3b3b0d0c7", "e667e09fe6", "eaa6c90310",
+            "f9397af4cb", "fb893ffaf3",
+        ),
+    ),
+    # DL3DV: the reference does NOT materialize a list — its val split IS
+    # the external DL3DV-Benchmark CSV (data_splits.py:1709-1723 stores a
+    # "load <huggingface CSV url>" instruction). Same contract here:
+    # dl3dv_benchmark_rule() builds the rule from a local copy of that CSV
+    # (no egress in this environment); without one, the hash fraction
+    # below is an explicit, documented approximation.
 }
 DEFAULT_RULE = SplitRule()
+
+
+def dl3dv_benchmark_rule(benchmark_csv: str) -> SplitRule:
+    """Build the DL3DV split rule from a local copy of the official
+    DL3DV-Benchmark metadata CSV (the file the reference's split table
+    points at, data_splits.py:1718-1722: benchmark-meta.csv's `hash`
+    column names the benchmark scenes, which are the val split).
+
+    Register it with ``SPLIT_RULES["dl3dv"] = dl3dv_benchmark_rule(path)``
+    before materializing scene lists.
+    """
+    import csv
+
+    names: List[str] = []
+    with open(benchmark_csv, newline="") as f:
+        reader = csv.DictReader(f)
+        if reader.fieldnames is None:
+            raise ValueError(f"{benchmark_csv}: empty CSV")
+        col = "hash" if "hash" in reader.fieldnames else reader.fieldnames[0]
+        for row in reader:
+            name = (row.get(col) or "").strip()
+            if name:
+                names.append(name)
+    if not names:
+        raise ValueError(f"{benchmark_csv}: no scene names found")
+    return SplitRule(val_scenes=tuple(names))
 
 
 def assign_split(dataset: str, scene: str,

@@ -30,7 +30,7 @@ _LANES = 128  # min lane width for fp32 VMEM scratch
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
-                  *, scale: float, kv_len: int, block_k: int, d: int):
+                  *, scale: float, d: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -43,7 +43,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
     # bottleneck at ViT lengths, so every per-element op counts:
     #  * base-2 softmax domain (exp2 is cheaper than exp on the VPU),
     #  * softmax scale folded into q (bq*d elements, not bq*bk),
-    #  * padding mask applied only in the ragged final k-block.
+    #  * no padding mask at all (zero-padded k rows + zeroed ones-column
+    #    in padded V rows, see below).
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]  # (bk, d)
     # bf16 S/P for bf16 inputs (see _flash_kernel_1pass) — the fp32 m/l
@@ -53,18 +54,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(s_dtype)  # (bq, bk)
 
-    if kv_len % block_k != 0:  # static: no mask at all for aligned kv
-        # Additive (1, bk) bias row instead of a per-element iota/compare/
-        # select over (bq, bk): one broadcast add on the VPU. Only the
-        # final k-block holds padded columns, but branch-gating the add on
-        # j == nk-1 with lax.cond was MEASURED SLOWER (49 vs 67 TF/s at the
-        # 100-view shape — the cond forces S through a both-branch select
-        # and breaks Mosaic's pipeline), so the add runs unconditionally;
-        # for j < nk-1 every bias element is 0.
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, s.shape[1]), 1)
-        bias = jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
-        s = s + bias
+    # Ragged kv tails need NO masking pass here: padded k rows are zero, so
+    # their scores are 0 and m only gets clamped to >= 0 (softmax is shift-
+    # invariant and the ones-column in V is zeroed on padded rows, so they
+    # add nothing to the pv columns OR the row sum). This removed the
+    # former additive (1, bk) -inf bias row — one full VPU pass over the
+    # score tile (the S chain, not the matmuls, bounds these kernels).
 
     m_prev = m_ref[:, :1]  # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
@@ -92,7 +87,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
 
 
 def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
-                        *, scale: float, kv_len: int, d: int):
+                        *, scale: float, d: int):
     """Single k-block specialization: when the whole kv fits one block
     (every encoder / frame-attention call), the online-softmax carry
     (m/l scratch, init pass, rescale multiplies, broadcast writes) is pure
@@ -103,7 +98,8 @@ def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
     the VPU drops its (bq, bk) fp32 reduction. The PV tile is N=d=64
     padded to 128 lanes either way, so the extra column is free MXU work
     (measured +4% encoder shape, +11% trunk-global shape). Padded kv
-    columns contribute nothing to the sum: their p is exp2(-inf) = 0."""
+    columns contribute nothing to the sum: their V rows (including the
+    ones column) are zero."""
     q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
     k = k_ref[0]
     # The softmax chain is VMEM-BANDWIDTH-bound on the (bq, bk) score
@@ -116,9 +112,11 @@ def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,  # Mosaic requires fp32 acc
     ).astype(s_dtype)  # cast in the epilogue -> S stored bf16 when serving
-    if kv_len != s.shape[1]:  # ragged tail: additive (1, bk) bias row
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+    # Ragged kv tails: NO bias pass — padded k rows are zero, so their
+    # scores are 0; m is merely clamped to >= 0 (softmax shift-invariance)
+    # and the zeroed ones-column in padded V rows keeps them out of both
+    # the pv accumulation and the row sum. Saves one full (bq, bk) VPU
+    # pass on the chain that bounds this kernel.
     m = jnp.max(s, axis=-1, keepdims=True)
     # exp2 directly in the S dtype: for bf16 inputs the fp32 round-trip
     # (cast up, exp2, cast down) costs a full extra (bq, bk) fp32
@@ -200,11 +198,14 @@ def flash_attention(
 
     def to_bh(x, target_len, extra_ones=False):
         x = jnp.swapaxes(x, 1, 2).reshape(b * h, x.shape[1], d)
+        if extra_ones:  # MXU row-sum column (see _flash_kernel_1pass)
+            # appended BEFORE row padding: padded rows carry 0 here, which
+            # is what excludes them from the softmax row sum without any
+            # in-kernel masking (see the ragged-tail notes in the kernels)
+            ones = jnp.ones((b * h, x.shape[1], 1), x.dtype)
+            x = jnp.concatenate([x, ones], axis=-1)
         if x.shape[1] != target_len:
             x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))
-        if extra_ones:  # MXU row-sum column (see _flash_kernel_1pass)
-            ones = jnp.ones((b * h, target_len, 1), x.dtype)
-            x = jnp.concatenate([x, ones], axis=-1)
         return x
 
     qb = to_bh(q, n_pad)
@@ -216,7 +217,7 @@ def flash_attention(
         grid = (b * h, n_pad // block_q)
         out = pl.pallas_call(
             functools.partial(
-                _flash_kernel_1pass, scale=scale, kv_len=kv_len, d=d
+                _flash_kernel_1pass, scale=scale, d=d
             ),
             grid=grid,
             in_specs=[
@@ -235,7 +236,7 @@ def flash_attention(
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, kv_len=kv_len, block_k=block_k, d=d
+            _flash_kernel, scale=scale, d=d
         ),
         grid=grid,
         in_specs=[

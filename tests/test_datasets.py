@@ -585,6 +585,63 @@ class TestSplits:
         assert not a["test"]
         assert sorted(a["train"] + a["val"]) == scenes
 
+    def test_curated_splits_match_reference_1to1(self):
+        """Every dataset with a PUBLISHED split in the reference's
+        data_splits.py must be reproduced exactly by assign_split —
+        including the curated ScanNetPP-V2 benchmark lists the dense-N-view
+        protocol is defined over (VERDICT r3 item 2)."""
+        import importlib.util
+
+        from mapanything_tpu.data.splits import assign_split
+
+        spec = importlib.util.spec_from_file_location(
+            "ref_data_splits",
+            "/root/reference/mapanything/datasets/utils/data_splits.py",
+        )
+        ref = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(ref)
+
+        snpp = ref.ScanNetPPSplits()
+        assert len(snpp.val_split_scenes) == 30
+        assert len(snpp.test_split_scenes) == 30
+        for s in snpp.val_split_scenes:
+            assert assign_split("scannetpp", s) == "val"
+        for s in snpp.test_split_scenes:
+            assert assign_split("scannetpp", s) == "test"
+        # any other ScanNetPP scene trains (V2-only val/test, :1624-1627)
+        assert assign_split("scannetpp", "ffffffffff") == "train"
+
+        tav2 = ref.TartanAirV2Splits()
+        for s in tav2.val_split_scenes:
+            assert assign_split("tav2_wb", s) == "val"
+        for s in tav2.test_split_scenes:
+            assert assign_split("tav2_wb", s) == "test"
+
+        for s in ref.MegaDepthSplits().val_split_scenes:
+            assert assign_split("megadepth", s) == "val"
+        for s in ref.SpringSplits().val_split_scenes:
+            assert assign_split("spring", s) == "val"
+
+        # BlendedMVS: the 1,500-line literal table vs our hex rule, 1:1
+        bmvs = ref.BlendedMVSSplits()
+        for s in bmvs.train_split_scenes:
+            assert assign_split("blendedmvs", s) == "train"
+        for s in bmvs.val_split_scenes:
+            assert assign_split("blendedmvs", s) == "val"
+
+    def test_dl3dv_benchmark_rule_loads_csv(self, tmp_path):
+        """DL3DV's val split is the external benchmark CSV in the reference
+        too (data_splits.py:1709-1723); the rule builds from a local copy."""
+        from mapanything_tpu.data.splits import dl3dv_benchmark_rule
+
+        csv_path = tmp_path / "benchmark-meta.csv"
+        csv_path.write_text(
+            "hash,scene\nabc123,foo\ndef456,bar\n")
+        rule = dl3dv_benchmark_rule(str(csv_path))
+        assert rule.assign("abc123") == "val"
+        assert rule.assign("def456") == "val"
+        assert rule.assign("zzz999") == "train"
+
     def test_build_scene_lists_feeds_dataset(self, wai_root, tmp_path):
         """Materialized .npy lists load through WAIDataset unchanged."""
         from mapanything_tpu.data.splits import SplitRule, build_scene_lists

@@ -249,6 +249,21 @@ class TestEdges:
         inner = (slice(1, -1), slice(1, -1))
         assert np.array_equal(np.asarray(ours)[inner], ref[inner])
 
+    def test_points_normal_edges_fused_matches_composition(self, rng):
+        """The plane-wise fused path (used by the inference postprocess)
+        must reproduce points_to_normals + normals_edge exactly."""
+        depth = rng.uniform(1, 3, size=(2, 16, 20)).astype(np.float32)
+        K = np.array([[50.0, 0, 10], [0, 50, 8], [0, 0, 1]], dtype=np.float32)
+        pts, _ = G.depthmap_to_camera_frame(
+            jnp.asarray(depth), jnp.broadcast_to(jnp.asarray(K), (2, 3, 3))
+        )
+        mask = jnp.asarray(rng.uniform(size=(2, 16, 20)) > 0.15)
+        normals, nmask = G.points_to_normals(pts, mask)
+        composed = G.normals_edge(normals, tol=5.0, mask=nmask,
+                                  assume_normalized=True)
+        fused = G.points_normal_edges(pts, tol=5.0, mask=mask)
+        assert np.array_equal(np.asarray(fused), np.asarray(composed))
+
 
 class TestJit:
     def test_core_functions_jit(self, rng):
