@@ -25,13 +25,11 @@ from .mapanything import MapAnything, MapAnythingConfig
 
 def _load_state_dict(path: str) -> Dict[str, Any]:
     if path.endswith(".safetensors"):
-        from safetensors import safe_open
+        # pure-python parser (utils/weights.read_safetensors): the HF
+        # checkpoint path needs neither torch nor the safetensors pip
+        from ..utils.weights import read_safetensors
 
-        out = {}
-        with safe_open(path, framework="pt") as f:
-            for k in f.keys():
-                out[k] = f.get_tensor(k)
-        return out
+        return read_safetensors(path)
     import torch
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
@@ -62,10 +60,24 @@ def from_pretrained(
     """
     overrides = dict(config_overrides or {})
 
+    sharded_sd = None
     if os.path.isdir(path):
         st = os.path.join(path, "model.safetensors")
+        index = os.path.join(path, "model.safetensors.index.json")
         if os.path.isfile(st):
             path = st
+        elif os.path.isfile(index):
+            # sharded HF snapshot: the index maps key -> shard file
+            import json
+
+            from ..utils.weights import read_safetensors
+
+            with open(index) as f:
+                weight_map = json.load(f)["weight_map"]
+            sharded_sd = {}
+            for shard in sorted(set(weight_map.values())):
+                sharded_sd.update(
+                    read_safetensors(os.path.join(path, shard)))
         else:
             # orbax params dir
             from ..train.checkpoints import load_params
@@ -78,7 +90,7 @@ def from_pretrained(
         infer_model_config,
     )
 
-    sd = _load_state_dict(path)
+    sd = sharded_sd if sharded_sd is not None else _load_state_dict(path)
     inferred = infer_model_config(sd)
     import dataclasses
 

@@ -29,8 +29,103 @@ import numpy as np
 def _t(x) -> np.ndarray:
     """torch tensor / array -> numpy array."""
     if hasattr(x, "detach"):
-        x = x.detach().cpu().numpy()
+        x = x.detach().cpu()
+        if str(x.dtype) == "torch.bfloat16":  # numpy has no bf16
+            x = x.float()
+        x = x.numpy()
     return np.asarray(x)
+
+
+# ---------------------------------------------------------------------------
+# safetensors (pure python/numpy — no torch, no safetensors pip dependency)
+# ---------------------------------------------------------------------------
+
+# safetensors dtype tag -> (numpy dtype to view the raw bytes as, upcast)
+_SAFETENSORS_DTYPES = {
+    "F64": (np.float64, None),
+    "F32": (np.float32, None),
+    "F16": (np.float16, None),
+    # bf16 has no numpy dtype: view as uint16 and widen to fp32 by shifting
+    # into the top half of a uint32 (bf16 is fp32's upper 16 bits)
+    "BF16": (np.uint16, "bf16"),
+    "I64": (np.int64, None),
+    "I32": (np.int32, None),
+    "I16": (np.int16, None),
+    "I8": (np.int8, None),
+    "U8": (np.uint8, None),
+    "BOOL": (np.bool_, None),
+}
+
+
+def read_safetensors(path: str) -> Dict[str, np.ndarray]:
+    """Parse a .safetensors file into {name: numpy array}.
+
+    Pure-python implementation of the format (8-byte LE header length, JSON
+    header of {name: {dtype, shape, data_offsets}}, raw little-endian
+    tensor data) so the HF checkpoint load path (reference model.py:87
+    PyTorchModelHubMixin — safetensors on the hub) has no torch or
+    safetensors-pip dependency. bf16 tensors are widened to fp32 (the
+    param trees hold fp32 masters).
+    """
+    import json
+
+    with open(path, "rb") as f:
+        header_len = int.from_bytes(f.read(8), "little")
+        header = json.loads(f.read(header_len).decode("utf-8"))
+        data = f.read()
+    out: Dict[str, np.ndarray] = {}
+    for name, meta in header.items():
+        if name == "__metadata__":
+            continue
+        tag = meta["dtype"]
+        if tag not in _SAFETENSORS_DTYPES:
+            raise ValueError(f"{path}: unsupported safetensors dtype {tag!r}")
+        np_dtype, special = _SAFETENSORS_DTYPES[tag]
+        lo, hi = meta["data_offsets"]
+        arr = np.frombuffer(data[lo:hi], dtype=np_dtype)
+        if special == "bf16":
+            arr = (arr.astype(np.uint32) << 16).view(np.float32)
+        out[name] = arr.reshape(meta["shape"])
+    return out
+
+
+def write_safetensors(path: str, tensors: Mapping[str, Any]) -> None:
+    """Write {name: array} as a .safetensors file (test fixtures / export).
+
+    fp32/fp16/int arrays map directly; jax/ml_dtypes bfloat16 arrays are
+    written as BF16.
+    """
+    import json
+
+    tag_of = {np.dtype(np.float64): "F64", np.dtype(np.float32): "F32",
+              np.dtype(np.float16): "F16", np.dtype(np.int64): "I64",
+              np.dtype(np.int32): "I32", np.dtype(np.int16): "I16",
+              np.dtype(np.int8): "I8", np.dtype(np.uint8): "U8",
+              np.dtype(np.bool_): "BOOL"}
+    header: Dict[str, Any] = {}
+    blobs = []
+    offset = 0
+    for name, x in tensors.items():
+        x = _t(x)
+        if "bfloat16" in str(x.dtype):
+            tag = "BF16"
+            raw = np.ascontiguousarray(x).view(np.uint16).tobytes()
+        else:
+            if x.dtype not in tag_of:
+                raise ValueError(f"unsupported dtype {x.dtype} for {name}")
+            tag = tag_of[x.dtype]
+            raw = np.ascontiguousarray(x).tobytes()
+        header[name] = {"dtype": tag, "shape": list(x.shape),
+                        "data_offsets": [offset, offset + len(raw)]}
+        blobs.append(raw)
+        offset += len(raw)
+    hdr = json.dumps(header).encode("utf-8")
+    hdr += b" " * (-len(hdr) % 8)  # spec: align data to 8 bytes
+    with open(path, "wb") as f:
+        f.write(len(hdr).to_bytes(8, "little"))
+        f.write(hdr)
+        for raw in blobs:
+            f.write(raw)
 
 
 def linear(w, b=None) -> Dict[str, np.ndarray]:
