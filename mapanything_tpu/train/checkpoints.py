@@ -72,6 +72,7 @@ def load_train_state(path: str, state):
     best = epoch = None
     for extras in ({"best_so_far": jax.numpy.zeros(()),
                     "epoch": jax.numpy.zeros((), jax.numpy.int32)},
+                   {"epoch": jax.numpy.zeros((), jax.numpy.int32)},
                    {"best_so_far": jax.numpy.zeros(())},
                    {}):
         try:

@@ -210,9 +210,17 @@ def train(
                 print(f"epoch {epoch}: new best val loss {best_so_far:.4f}")
 
         # ---- train one epoch (training.py:386) ----
-        state, rng = train_one_epoch(
-            model, state, train_step, train_loader, epoch, loop_cfg, rng,
-            log_path, mesh=mesh,
+        # The per-epoch rng is DERIVED from (seed, epoch), not threaded
+        # across epochs: a kill+resume at any epoch boundary then replays
+        # the identical rng stream the uninterrupted run would have used,
+        # making auto-resume trajectory-exact (reference relies on
+        # torchrun restarts + resume, training.py:213-224; its unseeded
+        # CUDA rng has no such guarantee).
+        epoch_rng = jax.random.fold_in(jax.random.PRNGKey(loop_cfg.seed),
+                                       epoch + 1)
+        state, _ = train_one_epoch(
+            model, state, train_step, train_loader, epoch, loop_cfg,
+            epoch_rng, log_path, mesh=mesh,
         )
 
         # ---- checkpoints (training.py:237-285) ----

@@ -151,3 +151,73 @@ def test_overfits_tiny_batch():
     first, last, lo = _overfit(200, lr=1e-2, min_lr_frac=0.2)
     assert lo < 0.1 * first, (first, last, lo)
     assert last < 0.25 * first, (first, last, lo)
+
+
+class _Preempted(RuntimeError):
+    pass
+
+
+class _SyntheticLoader:
+    """Deterministic tiny-batch loader (same batches every epoch)."""
+
+    def __init__(self, n=2, kill_at=None):
+        from mapanything_tpu.data.synthetic import make_synthetic_batch
+
+        self.batches = [make_synthetic_batch(1, 2, 28, 28, seed=100 + i)
+                        for i in range(n)]
+        self.kill_at = kill_at  # (epoch, iter) -> raise mid-epoch
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __len__(self):
+        return len(self.batches)
+
+    def __iter__(self):
+        for i, b in enumerate(self.batches):
+            if self.kill_at is not None and (self.epoch, i) == self.kill_at:
+                raise _Preempted(f"simulated preemption at epoch "
+                                 f"{self.epoch} iter {i}")
+            yield b
+
+
+def test_preemption_kill_resume_trajectory_exact(tmp_path):
+    """Kill training mid-epoch, resume from checkpoint-last, and the final
+    params must be IDENTICAL to an uninterrupted run — the torchrun
+    --max-restarts + auto-resume contract (reference training.py:213-224),
+    made trajectory-exact here by deriving the per-epoch rng from
+    (seed, epoch) instead of threading it (round-3 VERDICT item 7)."""
+    from mapanything_tpu.models import MapAnything, MapAnythingConfig
+    from mapanything_tpu.train import OptimConfig
+    from mapanything_tpu.train.loop import TrainLoopConfig, train
+
+    cfg = MapAnythingConfig(
+        encoder_size="test", trunk_dim=64, trunk_depth=2, trunk_num_heads=2,
+        trunk_indices=(0, 1), dpt_feature_dim=32,
+        dpt_out_channels=(32, 32, 32, 32), dpt_hidden_dims=(16, 8),
+        dtype=jnp.float32,
+    )
+    model = MapAnything(cfg=cfg)  # one module -> jit cache shared by runs
+    optim = OptimConfig(lr=1e-3, warmup_steps=2, total_steps=10)
+
+    def run(out_dir, loader):
+        loop = TrainLoopConfig(output_dir=str(out_dir), epochs=3,
+                               print_freq=10, save_freq=1, seed=0)
+        return train(model, loader, loop, optim)
+
+    # --- run A: uninterrupted --------------------------------------------
+    state_a = run(tmp_path / "a", _SyntheticLoader())
+
+    # --- run B: preempted mid-epoch-1, then resumed ------------------------
+    with pytest.raises(_Preempted):
+        run(tmp_path / "b", _SyntheticLoader(kill_at=(1, 1)))
+    # checkpoint-last holds the epoch-0 boundary; the resumed run replays
+    # epoch 1 from it with the same derived rng stream
+    state_b = run(tmp_path / "b", _SyntheticLoader())
+
+    assert int(state_a.step) == int(state_b.step) == 6
+    leaves_a = jax.tree_util.tree_leaves(state_a.params)
+    leaves_b = jax.tree_util.tree_leaves(state_b.params)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
