@@ -139,6 +139,14 @@ class MapAnythingConfig:
     # (convert with fold_layerscale=True); removes 2 elementwise passes per
     # encoder layer. Keep False for training (gamma stays learnable).
     fold_layerscale: bool = False
+    # Aligned-token mode for the encoder stack: pad the token axis once to
+    # a multiple of this and mask pad keys in the qkv epilogue instead of
+    # padding q/k/v inside every flash call (nn/dinov2.py pad_tokens_to).
+    # Exact (masked softmax == unpadded); None disables.
+    encoder_pad_tokens_to: Optional[int] = 128
+    # Same for the trunk's global layers ([views*patches | scale token]
+    # padded to a multiple; nn/trunk.py pad_tokens_to).
+    trunk_pad_tokens_to: Optional[int] = 128
 
     trunk_dim: int = 1024
     trunk_depth: int = 24
@@ -283,6 +291,7 @@ class MapAnything(nn.Module):
                 remat=cfg.encoder_gradient_checkpointing,
                 fold_layerscale=cfg.fold_layerscale,
                 mlp_token_chunk=mlp_chunk,
+                pad_tokens_to=cfg.encoder_pad_tokens_to,
                 name="encoder",
             )
         elif cfg.encoder_type == "croco":
@@ -369,6 +378,7 @@ class MapAnything(nn.Module):
             remat=cfg.trunk_gradient_checkpointing,
             seq_axis=cfg.trunk_seq_axis,
             mlp_token_chunk=mlp_chunk,
+            pad_tokens_to=cfg.trunk_pad_tokens_to,
             name="info_sharing",
         )
         view_indices = None

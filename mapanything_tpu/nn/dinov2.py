@@ -206,6 +206,15 @@ class DinoViT(nn.Module):
     attn_impl: str = "auto"
     remat: bool = False
     mlp_token_chunk: "int | None" = None  # see layers.Mlp.token_chunk
+    # Aligned-token mode: pad the token axis ONCE to a multiple of this
+    # (cls+patches: 1370 -> 1408 at 518px) and run every block at the
+    # aligned length with the pad keys masked in the qkv epilogue
+    # (layers.Attention n_valid). Removes the per-layer q/k/v pad copies
+    # inside the flash wrapper and keeps LN/MLP rows tile-aligned —
+    # measured 3.065 -> 2.946 ms/block at (8, 1369, 1024) on v5e. Results
+    # are exact (masked softmax == unpadded softmax), so it is safe to
+    # leave on everywhere; None disables.
+    pad_tokens_to: "int | None" = None
 
     @property
     def embed_dim(self) -> int:
@@ -267,9 +276,18 @@ class DinoViT(nn.Module):
         else:
             x = jnp.concatenate([cls, x], axis=1)
 
+        n_tok = x.shape[1]
+        n_valid = None
+        if self.pad_tokens_to:
+            n_pad = -(-n_tok // self.pad_tokens_to) * self.pad_tokens_to
+            if n_pad != n_tok:
+                x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
+                n_valid = n_tok
+
         block_cls = Block
         if self.remat:
-            block_cls = nn.remat(Block)
+            # n_valid (arg 3, counting self) is a static python int
+            block_cls = nn.remat(Block, static_argnums=(3,))
         ls_init = None if self.fold_layerscale else self.layerscale_init
         for i in range(cfg["depth"]):
             x = block_cls(
@@ -283,11 +301,12 @@ class DinoViT(nn.Module):
                 attn_impl=self.attn_impl,
                 mlp_token_chunk=self.mlp_token_chunk,
                 name=f"blocks_{i}",
-            )(x)
+            )(x, None, n_valid)
 
         x = FusedLayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm",
         )(x)
-        patch_tokens = x[:, 1 + self.num_register_tokens :, :]
+        start = 1 + self.num_register_tokens
+        patch_tokens = x[:, start : start + gh * gw, :]
         return patch_tokens.reshape(b, gh, gw, dim)

@@ -66,9 +66,16 @@ class FeatureFusionBlock(nn.Module):
                              name="res_conv_unit2")(x)
         if out_hw is None:
             out_hw = (x.shape[-3] * 2, x.shape[-2] * 2)
-        x = bilinear_resize(x, out_hw, align_corners=True)
+        # out_conv (1x1, linear, no activation between it and the resize in
+        # the torch lineage: dpt_head.py:488 upsamples then out_conv) COMMUTES
+        # exactly with the bilinear resize — both are linear, one per-channel
+        # spatial, one per-pixel channel mixing. Applying it BEFORE the 2x
+        # upsample does the same math on 1/4 the pixels (measured 2.1 ms ->
+        # ~0.5 ms on refinenet1's 296^2 step at the headline shape); weights
+        # and param tree are unchanged.
         x = nn.Conv(self.features, (1, 1), dtype=self.dtype,
                     param_dtype=self.param_dtype, name="out_conv")(x)
+        x = bilinear_resize(x, out_hw, align_corners=True)
         return x
 
 
@@ -175,8 +182,13 @@ class DPTRegressionProcessor(nn.Module):
         x = nn.Conv(self.hidden_dims[1], (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(x)
         x = nn.relu(x)
-        # Raw channels; adaptors apply activations/ranges.
-        x = nn.Conv(self.output_dim, (1, 1), dtype=jnp.float32,
-                    param_dtype=self.param_dtype, name="conv_out")(
-            x.astype(jnp.float32))
-        return x
+        # Raw channels; adaptors apply activations/ranges (in fp32 — the
+        # 6-channel output is cast up by the caller's fp32 island). The conv
+        # itself follows the head dtype: in the bf16 serving path its input
+        # is already bf16-rounded by conv2/relu, so an fp32 1x1 here adds no
+        # accuracy, only a full-resolution fp32 materialization of x
+        # (measured 2.6 ms at 8x518^2x64). fp32 head configs (the
+        # conversion-parity path) keep fp32 end-to-end.
+        x = nn.Conv(self.output_dim, (1, 1), dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="conv_out")(x)
+        return x.astype(jnp.float32)

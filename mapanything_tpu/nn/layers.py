@@ -151,13 +151,29 @@ class Attention(nn.Module):
     entropy_scaling_base: Optional[int] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, rope=None,
+                 n_valid: Optional[int] = None) -> jnp.ndarray:
         b, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(
             3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, name="qkv",
         )(x)
+        if n_valid is not None and n_valid < n:
+            # Aligned-token mode: the stack runs at a tile-aligned token
+            # count with `n - n_valid` trailing pad rows (padded ONCE by the
+            # owner instead of per-layer inside the attention wrapper). The
+            # pad rows are garbage after LayerNorm (its bias revives zero
+            # rows), so zero them here — a broadcast multiply by a trace-
+            # time constant that XLA fuses into the qkv matmul's epilogue
+            # (no extra HBM pass). Zero k/v pad rows are exactly what the
+            # flash kernel's maskless ragged-tail trick needs
+            # (ops/flash_attention.py n_valid contract).
+            import numpy as np
+
+            row_mask = jnp.asarray(
+                (np.arange(n) < n_valid).astype(np.float32), self.dtype)
+            qkv = qkv * row_mask[None, :, None]
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         if rope is not None:  # 2D rotary PE (ablations, reference RoPE2D)
@@ -166,11 +182,13 @@ class Attention(nn.Module):
             cos, sin = rope
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-        if self.entropy_scaling_base is not None and n > self.entropy_scaling_base:
+        n_eff = n if n_valid is None else n_valid
+        if (self.entropy_scaling_base is not None
+                and n_eff > self.entropy_scaling_base):
             import math
 
-            q = q * (math.log(n) / math.log(self.entropy_scaling_base))
-        out = sdpa(q, k, v, impl=self.attn_impl)
+            q = q * (math.log(n_eff) / math.log(self.entropy_scaling_base))
+        out = sdpa(q, k, v, impl=self.attn_impl, n_valid=n_valid)
         out = out.reshape(b, n, self.dim)
         return nn.Dense(
             self.dim, use_bias=self.proj_bias, dtype=self.dtype,
@@ -193,7 +211,8 @@ class Block(nn.Module):
     mlp_token_chunk: Optional[int] = None  # see Mlp.token_chunk
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, rope=None) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, rope=None,
+                 n_valid: Optional[int] = None) -> jnp.ndarray:
         ln = lambda name: FusedLayerNorm(  # noqa: E731
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype, name=name
         )
@@ -202,7 +221,7 @@ class Block(nn.Module):
             self.dim, self.num_heads, qkv_bias=self.qkv_bias, dtype=self.dtype,
             param_dtype=self.param_dtype, attn_impl=self.attn_impl,
             entropy_scaling_base=self.entropy_scaling_base, name="attn",
-        )(h, rope=rope)
+        )(h, rope=rope, n_valid=n_valid)
         if self.layerscale_init is not None:
             h = LayerScale(self.dim, self.layerscale_init,
                            param_dtype=self.param_dtype, name="ls1")(h)

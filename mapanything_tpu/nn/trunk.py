@@ -77,6 +77,12 @@ class AlternatingAttentionTrunk(nn.Module):
     seq_axis: Optional[str] = None
     remat: bool = False
     mlp_token_chunk: Optional[int] = None  # see layers.Mlp.token_chunk
+    # Aligned-token mode for global layers: pad [views*patches | extra
+    # tokens] to a multiple of this and mask the pad keys (layers.Attention
+    # n_valid) instead of letting the flash wrapper pad q/k/v per call.
+    # Exact; measured -0.15 ms/global-layer at the 2-view 518 shape. None
+    # disables (frame layers are per-view ragged either way).
+    pad_tokens_to: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -135,7 +141,9 @@ class AlternatingAttentionTrunk(nn.Module):
                                    self.rope_freq)
 
         intermediates = []
-        block_cls = nn.remat(Block) if self.remat else Block
+        # n_valid (arg 3, counting self) is a static python int
+        block_cls = (nn.remat(Block, static_argnums=(3,)) if self.remat
+                     else Block)
         ring_cls = (nn.remat(RingGlobalBlock) if self.remat
                     else RingGlobalBlock)
         for i in range(self.depth):
@@ -188,13 +196,23 @@ class AlternatingAttentionTrunk(nn.Module):
                 name=f"layers_{i}",
             )
             if is_global:
-                flat = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
-                flat = blk(flat)
+                n_tot = v * p + tok.shape[1]
+                pieces = [x.reshape(b, v * p, self.dim), tok]
+                n_valid = None
+                if self.pad_tokens_to:
+                    mult = self.pad_tokens_to
+                    n_pad = -(-n_tot // mult) * mult
+                    if n_pad != n_tot:
+                        # pad INSIDE the concat: one copy, not concat+pad
+                        pieces.append(jnp.zeros(
+                            (b, n_pad - n_tot, self.dim), x.dtype))
+                        n_valid = n_tot
+                flat = blk(jnp.concatenate(pieces, axis=1), None, n_valid)
                 x = flat[:, : v * p].reshape(b, v, p, self.dim)
-                tok = flat[:, v * p :]
+                tok = flat[:, v * p : n_tot]
             else:
                 # RoPE applies in frame attention (per-view patch positions)
-                x = blk(x.reshape(b * v, p, self.dim), rope=rope).reshape(
+                x = blk(x.reshape(b * v, p, self.dim), rope, None).reshape(
                     b, v, p, self.dim
                 )
 
@@ -336,7 +354,8 @@ class GlobalAttentionTrunk(AlternatingAttentionTrunk):
             x = x + is_ref * view_embed[0] + (1.0 - is_ref) * view_embed[1]
 
         intermediates = []
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (nn.remat(Block, static_argnums=(3,)) if self.remat
+                     else Block)
         for i in range(self.depth):
             blk = block_cls(
                 self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
@@ -345,10 +364,20 @@ class GlobalAttentionTrunk(AlternatingAttentionTrunk):
                 attn_impl=self.global_attn_impl,
                 mlp_token_chunk=self.mlp_token_chunk, name=f"layers_{i}",
             )
-            flat = jnp.concatenate([x.reshape(b, v * p, self.dim), tok], axis=1)
-            flat = blk(flat)
+            n_tot = v * p + tok.shape[1]
+            pieces = [x.reshape(b, v * p, self.dim), tok]
+            n_valid = None
+            if self.pad_tokens_to:
+                mult = self.pad_tokens_to
+                n_pad = -(-n_tot // mult) * mult
+                if n_pad != n_tot:
+                    # pad INSIDE the concat: one copy, not concat+pad
+                    pieces.append(jnp.zeros(
+                        (b, n_pad - n_tot, self.dim), x.dtype))
+                    n_valid = n_tot
+            flat = blk(jnp.concatenate(pieces, axis=1), None, n_valid)
             x = flat[:, : v * p].reshape(b, v, p, self.dim)
-            tok = flat[:, v * p :]
+            tok = flat[:, v * p : n_tot]
             if i in self.indices:
                 feat = x
                 if self.norm_intermediate:

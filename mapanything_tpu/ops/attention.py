@@ -25,6 +25,7 @@ def sdpa(
     v: jnp.ndarray,
     impl: str = "auto",
     key_mask: jnp.ndarray | None = None,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
     """Multi-head scaled dot-product attention.
 
@@ -36,6 +37,10 @@ def sdpa(
             views" against one shared key/value set instead of per-view
             gathered contexts (static shapes, O(1) graph size in V). Masked
             attention currently routes through the XLA path.
+        n_valid: static count of real tokens in aligned-token mode (inputs
+            pre-padded to a tile-aligned length, k/v pad rows already zeroed
+            by the caller — see flash_attention). The XLA path derives a
+            static key mask from it instead.
 
     Returns:
         (B, N, H, D) attention output in q.dtype.
@@ -46,6 +51,16 @@ def sdpa(
         # 75 TFLOP/s on a ViT-L block stack at N=1370). On CPU, pallas only
         # runs interpreted — use the XLA path there.
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if n_valid is not None and n_valid < k.shape[1]:
+        if impl == "flash":
+            from .flash_attention_bwd import flash_attention_trainable
+
+            # positional: custom_vjp + nondiff_argnums rejects kwargs
+            return flash_attention_trainable(q, k, v, 1408, 2048, n_valid)
+        if impl == "xla" and key_mask is None:
+            import numpy as np
+
+            key_mask = jnp.asarray(np.arange(k.shape[1]) < n_valid)
     if key_mask is not None:
         if impl.startswith("ring"):
             # the XLA fallback would silently attend to only the LOCAL

@@ -150,7 +150,8 @@ def pick_block(n: int, target: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_q", "block_k", "interpret", "single_pass_max"),
+    static_argnames=("block_q", "block_k", "interpret", "single_pass_max",
+                     "n_valid"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -160,6 +161,7 @@ def flash_attention(
     block_k: int = 2048,
     interpret: bool = False,
     single_pass_max: int = 2816,
+    n_valid: int | None = None,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v without materializing the score matrix.
 
@@ -169,6 +171,15 @@ def flash_attention(
         single_pass_max: kv widths up to this take the 1-pass kernel (test
             knob: lower it to exercise the online multi-block kernel at
             small shapes).
+        n_valid: static count of REAL tokens when the inputs arrive already
+            padded to an aligned length (aligned-token mode: the caller pads
+            the token axis once per stack instead of this wrapper padding
+            q/k/v on every layer). CONTRACT: rows >= n_valid of k AND v must
+            be exactly zero (the Attention module zeroes them in the qkv
+            projection's fused epilogue); this wrapper then only masks the
+            softmax row-sum ones-column so pad keys add nothing, the same
+            zero-k/zero-v trick the internal padding path uses. q pad rows
+            produce garbage output rows — the caller slices them off.
 
     Returns:
         (B, N, H, D) in q.dtype.
@@ -202,7 +213,18 @@ def flash_attention(
             # appended BEFORE row padding: padded rows carry 0 here, which
             # is what excludes them from the softmax row sum without any
             # in-kernel masking (see the ragged-tail notes in the kernels)
-            ones = jnp.ones((b * h, x.shape[1], 1), x.dtype)
+            if n_valid is not None and n_valid < x.shape[1]:
+                # aligned-token mode: the tail rows are pre-padded garbage-
+                # turned-zero (see the n_valid contract) — the ones column
+                # must be 0 there too, a trace-time constant vector
+                import numpy as _np
+
+                col = (_np.arange(x.shape[1]) < n_valid).astype(_np.float32)
+                ones = jnp.broadcast_to(
+                    jnp.asarray(col, x.dtype)[None, :, None],
+                    (b * h, x.shape[1], 1))
+            else:
+                ones = jnp.ones((b * h, x.shape[1], 1), x.dtype)
             x = jnp.concatenate([x, ones], axis=-1)
         if x.shape[1] != target_len:
             x = jnp.pad(x, ((0, 0), (0, target_len - x.shape[1]), (0, 0)))

@@ -200,10 +200,22 @@ def _prep(x, target_len, b, h, d):
     return x
 
 
-def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
+def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816,
+                  n_valid=None):
     b, n, h, d = q.shape
     kv_len = k.shape[1]
     scale = d**-0.5
+
+    def ones_col(width):
+        # aligned-token mode: exclude the caller's pre-padded tail rows from
+        # the MXU row sum (trace-time constant; see flash_attention.to_bh)
+        if n_valid is not None and n_valid < width:
+            import numpy as _np
+
+            col = (_np.arange(width) < n_valid).astype(_np.float32)
+            return jnp.broadcast_to(
+                jnp.asarray(col, v.dtype)[None, :, None], (b * h, width, 1))
+        return jnp.ones((b * h, width, 1), v.dtype)
     block_q = pick_block(n, block_q)
     # Single k-block whenever the whole kv fits a VMEM-safe width — same
     # policy as serving (flash_attention.py): every frame-attention call and
@@ -231,8 +243,7 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
     if kv_pad == block_k:
         # ones column for the MXU row-sum; saved residual vb stays d-wide
         # (the bwd kernels consume plain V)
-        vb_ones = jnp.concatenate(
-            [vb, jnp.ones((b * h, kv_pad, 1), vb.dtype)], axis=-1)
+        vb_ones = jnp.concatenate([vb, ones_col(kv_pad)], axis=-1)
         grid = (b * h, n_pad // block_q)
         out, lse = pl.pallas_call(
             functools.partial(
@@ -258,8 +269,7 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816):
         out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
         return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
                                                  kv_pad, block_q, block_k))
-    vb_ones = jnp.concatenate(
-        [vb, jnp.ones((b * h, kv_pad, 1), vb.dtype)], axis=-1)
+    vb_ones = jnp.concatenate([vb, ones_col(kv_pad)], axis=-1)
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_with_lse_kernel, scale=scale, kv_len=kv_len,
@@ -380,9 +390,10 @@ def _bwd(res, g):
     return unprep(dq, n), unprep(dk, kv_len), unprep(dv, kv_len)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_trainable(q, k, v, block_q: int = 1408,
-                              block_k: int = 2048):
+                              block_k: int = 2048,
+                              n_valid: int | None = None):
     """Flash attention with a Pallas backward pass (for training graphs).
 
     The primal (serving) body runs the flash kernel at the full block_q —
@@ -390,15 +401,25 @@ def flash_attention_trainable(q, k, v, block_q: int = 1408,
     fwd-with-lse / dq / dkv kernels cap block_q at 1024: their VMEM tiles
     scale with block_q x block_k (three fp32 (bq, bk) intermediates in the
     dkv kernel), and 1408 x 1408 tiles would overflow VMEM.
+
+    n_valid (aligned-token mode, see flash_attention): requires zero k/v pad
+    rows from the caller. The backward needs NO changes on top: pad-row
+    output cotangents are zero by construction (every pad-row path to a real
+    output runs through the caller's zero row-mask, whose backward zeroes
+    the cotangents), so ds vanishes on pad q rows via dp = do·v = 0 and
+    delta = 0; pad k columns contribute ds·k_pad = 0 to dq; garbage pad ROWS
+    of dk/dv are zeroed by the caller's mask backward.
     """
-    return flash_attention(q, k, v, block_q=block_q, block_k=block_k)
+    return flash_attention(q, k, v, block_q=block_q, block_k=block_k,
+                           n_valid=n_valid)
 
 
-def _vjp_fwd(q, k, v, block_q, block_k):
-    return _fwd_with_lse(q, k, v, min(block_q, 1024), min(block_k, 1024))
+def _vjp_fwd(q, k, v, block_q, block_k, n_valid):
+    return _fwd_with_lse(q, k, v, min(block_q, 1024), min(block_k, 1024),
+                         n_valid=n_valid)
 
 
-def _vjp_bwd(block_q, block_k, res, g):
+def _vjp_bwd(block_q, block_k, n_valid, res, g):
     return _bwd(res, g)
 
 

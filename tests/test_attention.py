@@ -129,3 +129,101 @@ class TestFlashBackward:
                 )
         finally:
             fb.pl.pallas_call = orig
+
+
+class TestAlignedTokenMode:
+    """n_valid (aligned-token) mode: inputs pre-padded to an aligned length
+    with zero k/v pad rows; the kernels mask only the ones-column row sum.
+    The contract is exact — masked softmax == unpadded softmax."""
+
+    def _padded(self, rng, n_valid, n_pad):
+        q, k, v = _qkv(rng, 2, n_valid, 4, 64)
+        pad = ((0, 0), (0, n_pad - n_valid), (0, 0), (0, 0))
+        # k/v pad rows MUST be zero (the Attention module's qkv-epilogue
+        # mask guarantees this in production); q pad rows are garbage
+        qp = jnp.pad(q, pad, constant_values=0.7)  # garbage q pads
+        kp, vp = jnp.pad(k, pad), jnp.pad(v, pad)
+        return (q, k, v), (qp, kp, vp)
+
+    def test_serving_kernel_n_valid(self, rng):
+        (q, k, v), (qp, kp, vp) = self._padded(rng, 300, 384)
+        ref = _sdpa_xla(q, k, v)
+        out = flash_attention(qp, kp, vp, block_q=128, block_k=128,
+                              interpret=True, n_valid=300)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :300]), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_online_kernel_n_valid(self, rng):
+        (q, k, v), (qp, kp, vp) = self._padded(rng, 300, 384)
+        ref = _sdpa_xla(q, k, v)
+        out = flash_attention(qp, kp, vp, block_q=128, block_k=128,
+                              interpret=True, single_pass_max=128,
+                              n_valid=300)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :300]), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_gradients_n_valid(self, rng):
+        """The bwd kernels need no masking: pad-row output cotangents are
+        zero by construction in the module (the row-mask's backward), so ds
+        vanishes on pad q rows; pad k/v ROW grads are garbage killed by the
+        same mask backward — assert the real rows match unpadded XLA."""
+        import functools
+
+        from mapanything_tpu.ops import flash_attention_bwd as fb
+
+        orig = fb.pl.pallas_call
+        fb.pl.pallas_call = functools.partial(orig, interpret=True)
+        try:
+            (q, k, v), (qp, kp, vp) = self._padded(rng, 300, 384)
+            out, res = fb._fwd_with_lse(qp, kp, vp, 128, 128, n_valid=300)
+            np.testing.assert_allclose(
+                np.asarray(out[:, :300]), np.asarray(_sdpa_xla(q, k, v)),
+                atol=1e-4, rtol=1e-4,
+            )
+            # pad-row cotangents are zero in production (see docstring)
+            g = 2 * out * (jnp.arange(384) < 300)[None, :, None, None]
+            dq, dk, dv = fb._bwd(res, g)
+
+            def loss_xla(q, k, v):
+                return jnp.sum(_sdpa_xla(q, k, v) ** 2)
+
+            gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+            for name, ours, ref in zip("qkv", (dq, dk, dv), gx):
+                np.testing.assert_allclose(
+                    np.asarray(ours[:, :300]), np.asarray(ref),
+                    atol=2e-4, rtol=1e-3, err_msg=f"d{name}",
+                )
+        finally:
+            fb.pl.pallas_call = orig
+
+    def test_attention_module_n_valid(self, rng):
+        """layers.Attention with a pre-padded input equals the unpadded
+        module on the real rows (CPU: XLA key-mask path)."""
+        from mapanything_tpu.nn.layers import Attention
+
+        x = jnp.asarray(rng.standard_normal((2, 300, 64)).astype(np.float32))
+        xp = jnp.pad(x, ((0, 0), (0, 84), (0, 0)), constant_values=0.3)
+        mod = Attention(64, 4)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        ref = mod.apply(params, x)
+        out = mod.apply(params, xp, n_valid=300)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :300]), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_encoder_pad_tokens_exact(self, rng):
+        """DinoViT pad_tokens_to: identical patch features vs unpadded."""
+        from mapanything_tpu.nn.dinov2 import DinoViT
+
+        img = jnp.asarray(
+            rng.standard_normal((1, 56, 70, 3)).astype(np.float32))
+        enc = DinoViT(size="test", patch_size=14)
+        enc_pad = DinoViT(size="test", patch_size=14, pad_tokens_to=16)
+        params = enc.init(jax.random.PRNGKey(0), img)
+        ref = enc.apply(params, img)          # 4*5+1 = 21 tokens
+        out = enc_pad.apply(params, img)      # padded to 32
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
