@@ -229,6 +229,19 @@ def main():
     views_per_sec = (b * v) / headline_t
     extras["p50_e2e_latency_2view_b4_ms"] = round(p50_2 * 1000, 1)
     extras["sustained_ms_per_call_2view_b4"] = round(sus_2 * 1000, 1)
+    # e2e MFU at the headline config (analytic forward FLOPs over the full
+    # end-to-end time, so postprocess/RTT overheads count against it)
+    from mapanything_tpu.utils.flops import (
+        V5E_BF16_PEAK_FLOPS,
+        analytic_flops,
+        attention_matmul_flops,
+        global_attention_tokens,
+        train_step_flops,
+    )
+
+    fwd_flops_2v = analytic_flops(518, 2)["total"]
+    extras["e2e_mfu_pct"] = round(
+        100 * b * fwd_flops_2v / headline_t / V5E_BF16_PEAK_FLOPS, 1)
 
     # ---- extras: BASELINE configs 1, 3, 4, 5 ------------------------------
     sweeps = [
@@ -254,6 +267,44 @@ def main():
         except Exception as e:  # keep the primary metric printable
             print(f"# {key} failed: {type(e).__name__}: {e}", flush=True)
 
+    # ---- extra: achieved flash TF/s at the global-attention shapes -------
+    # (round-3 VERDICT item 8: the "kernel sustains its plateau across the
+    # view sweep" claim, measured per round instead of asserted.) Times the
+    # production multi-block kernel at exactly the (tokens, heads, d) the
+    # trunk's global layers see at 32/100/192 views @518.
+    if _left() > 200:
+        from mapanything_tpu.ops.flash_attention import flash_attention
+
+        for vv in (32, 100, 192):
+            if _left() < 120:
+                print(f"# deadline: skipping flash telemetry {vv}v",
+                      flush=True)
+                break
+            try:
+                ntok = global_attention_tokens(518, vv)
+                qkv = [
+                    jnp.asarray(rng.normal(size=(1, ntok, 16, 64))
+                                .astype(np.float32) * 0.2, jnp.bfloat16)
+                    for _ in range(3)
+                ]
+                fl = jax.jit(flash_attention)
+                out = fl(*qkv)
+                _ = float(jnp.asarray(out[0, 0, 0, 0]))  # compile + warm
+                iters = 3 if vv < 150 else 2
+                t0 = time.time()
+                for _i in range(iters):
+                    out = fl(*qkv)
+                _ = float(jnp.asarray(out[0, 0, 0, 0]))
+                dt = (time.time() - t0) / iters
+                tfs = attention_matmul_flops(ntok, 1024) / dt / 1e12
+                extras[f"flash_tflops_{vv}view"] = round(tfs, 1)
+                print(f"# flash global-attn {vv}v ({ntok} tok): "
+                      f"{dt * 1000:.0f} ms, {tfs:.1f} TF/s", flush=True)
+                del qkv, out
+            except Exception as e:
+                print(f"# flash telemetry {vv}v failed: "
+                      f"{type(e).__name__}: {e}", flush=True)
+
     # ---- extra: training-step throughput (flash bwd + remat) -------------
     if _left() > 240:
         try:
@@ -268,41 +319,65 @@ def main():
                 make_train_step,
             )
 
-            tb, tv, th, tw = 2, 4, 196, 252
             tcfg = MapAnythingConfig(
                 dtype=jnp.bfloat16,
                 encoder_gradient_checkpointing=True,
                 trunk_gradient_checkpointing=True,
             )
             tmodel = MapAnything(cfg=tcfg)
-            batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
             geom = aug_training_config()
-            tparams = jit_init(tmodel, jax.random.PRNGKey(0), batch["views"],
-                                  geom, rng=jax.random.PRNGKey(1))
-            state = create_train_state(tmodel, tparams, OptimConfig())
-            step = jax.jit(make_train_step(tmodel, geom, OverallLossConfig()),
-                           donate_argnums=(0,))
-            state, m = step(state, batch, jax.random.PRNGKey(2))
-            _ = float(m["loss"])  # compile+warm
-            # Sustained: the real training loop dispatches steps
-            # back-to-back (donated state) and fetches each iteration's
-            # metrics one step LATE (train/loop.py pipelined tripwire), so
-            # steady-state throughput overlaps the tunnel RTT exactly like
-            # the loop does.
-            n_steps = 6
-            t0 = time.time()
-            for i in range(n_steps):
-                state, m = step(state, batch, jax.random.PRNGKey(3 + i))
-            _ = float(m["loss"])
-            st = (time.time() - t0) / n_steps
-            extras["train_step_ms_2x4v_196x252"] = round(st * 1000, 1)
-            extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
-            print(f"# train step: {st * 1000:.0f} ms sustained "
-                  f"({tb * tv / st:.1f} imgs/s)", flush=True)
-            # Free the optimizer state before the view-ceiling ladder: the
-            # AdamW moments alone hold ~5 GB (2x fp32 params) and poisoned
-            # every ceiling probe down to 128 views when left alive.
-            del state, m, step, tparams, tmodel, batch
+            # Two shapes: the small cross-round comparison point, and the
+            # reference's 518 training resolution (round-3 VERDICT item 4:
+            # report train MFU where training actually runs). MFU here is
+            # model-FLOPs utilization (bwd = 2x fwd, remat recompute not
+            # counted — see utils/flops.train_step_flops).
+            train_shapes = [
+                (2, 4, 196, 252, "train_step_ms_2x4v_196x252", False, 240),
+                (1, 4, 518, 518, "train_step_ms_1x4v_518", True, 420),
+            ]
+            for tb, tv, th, tw, key, want_mfu, need_s in train_shapes:
+                if _left() < need_s:
+                    print(f"# deadline: skipping {key}", flush=True)
+                    continue
+                batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
+                tparams = jit_init(tmodel, jax.random.PRNGKey(0),
+                                   batch["views"], geom,
+                                   rng=jax.random.PRNGKey(1))
+                state = create_train_state(tmodel, tparams, OptimConfig())
+                step = jax.jit(
+                    make_train_step(tmodel, geom, OverallLossConfig()),
+                    donate_argnums=(0,))
+                state, m = step(state, batch, jax.random.PRNGKey(2))
+                _ = float(m["loss"])  # compile+warm
+                # Sustained: the real training loop dispatches steps
+                # back-to-back (donated state) and fetches each iteration's
+                # metrics one step LATE (train/loop.py pipelined tripwire),
+                # so steady-state throughput overlaps the tunnel RTT
+                # exactly like the loop does.
+                n_steps = 6 if th < 300 else 4
+                t0 = time.time()
+                for i in range(n_steps):
+                    state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+                _ = float(m["loss"])
+                st = (time.time() - t0) / n_steps
+                extras[key] = round(st * 1000, 1)
+                msg = (f"# train step {tb}x{tv}v@{th}x{tw}: "
+                       f"{st * 1000:.0f} ms sustained "
+                       f"({tb * tv / st:.1f} imgs/s)")
+                if want_mfu:
+                    mfu = (tb * train_step_flops(th, tv, tw) / st
+                           / V5E_BF16_PEAK_FLOPS)
+                    extras["train_mfu_pct"] = round(100 * mfu, 1)
+                    msg += f", MFU {100 * mfu:.1f}%"
+                else:
+                    extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
+                print(msg, flush=True)
+                # Free the optimizer state between shapes and before the
+                # view-ceiling ladder: the AdamW moments alone hold ~5 GB
+                # (2x fp32 params) and poisoned every ceiling probe down to
+                # 128 views when left alive.
+                del state, m, step, tparams, batch
+            del tmodel
         except Exception as e:
             print(f"# train-step extra failed: {type(e).__name__}: {e}",
                   flush=True)

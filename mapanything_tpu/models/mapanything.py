@@ -460,14 +460,20 @@ class MapAnything(nn.Module):
 
         if cfg.scene_rep_type.replace("+confidence", "").replace(
                 "+mask", "").endswith("pose"):
+            # Follows heads_dtype like the DPT (auto -> bf16 serving, fp32
+            # in the conversion-parity path): the two 512-ch ResidualConvUnits
+            # over (B*V, gh, gw) are ~218 GFLOP at the headline config and
+            # ran ~4x slower as a hardcoded fp32 island (~6 ms of the 8 ms
+            # head/glue gap in profile_components.py). The final fc_out
+            # inside PoseHead stays fp32 either way.
             pose_head = PoseHead(
                 input_feature_dim=cfg.trunk_dim,
                 num_resconv_block=cfg.pose_num_resconv,
-                dtype=jnp.float32,
+                dtype=cfg.resolved_heads_dtype(),
                 param_dtype=self.param_dtype,
                 name="pose_head",
             )
-            raw_pose = pose_head(hooks[-1].astype(jnp.float32))  # (B*V, 7)
+            raw_pose = pose_head(hooks[-1])  # (B*V, 7)
         else:  # pose-less scene reps (pointmap / raymap+depth families)
             raw_pose = None
 

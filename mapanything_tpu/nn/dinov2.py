@@ -24,6 +24,7 @@ import math
 from typing import Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,13 +143,12 @@ def interpolate_pos_embed(
 
 
 class _PatchEmbedMatmul(nn.Module):
-    """Non-overlapping patch embedding as im2col + matmul.
+    """Non-overlapping patch embedding (Conv(k=p, s=p, VALID) contraction).
 
-    Numerically the same contraction as Conv(k=p, s=p, VALID) and stores
-    the SAME params (kernel HWIO (p, p, C, dim), bias (dim,)) under the
-    module's scope — but the data path reshapes (H, W*C) row-major so the
-    im2col transpose moves p*C-element contiguous runs instead of
-    C-element ones, which the conv lowering cannot do with C=3 inputs.
+    Stores torch-convention params (kernel HWIO (p, p, C, dim), bias
+    (dim,)) under the module's scope. The data path has been measured in
+    three forms at the production shape (scripts/perf/
+    patch_embed_experiment.py); the plain XLA conv currently wins.
     """
 
     dim: int
@@ -168,15 +168,17 @@ class _PatchEmbedMatmul(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.dim,), self.param_dtype
         )
-        # (B, H, W, C) -> (B, gh, p, gw, p*C) -> (B, gh, gw, p, p*C):
-        # pure reshapes except one transpose of contiguous p*C runs
-        xr = x.astype(self.dtype).reshape(b, gh, p, gw, p * c)
-        xr = xr.transpose(0, 1, 3, 2, 4).reshape(b * gh * gw, p * p * c)
-        # HWIO flattens to (p*p*C, dim) in exactly the (p1, p2, c) order
-        # the data rows carry
-        wm = kernel.astype(self.dtype).reshape(p * p * c, self.dim)
-        out = xr @ wm + bias.astype(self.dtype)
-        return out.reshape(b, gh, gw, self.dim)
+        # XLA's NHWC conv lowering now beats both hand im2col forms at this
+        # shape (scripts/perf/patch_embed_experiment.py, 2026-08-19:
+        # conv 0.42 ms vs im2col 0.85 ms vs row-slab 1.13 ms at
+        # (8, 518, 518, 3) bf16) — the conv emitter's own patch relayout
+        # pipelines with the matmul, which the explicit transpose cannot.
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(p, p), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias.astype(self.dtype)
+        return out
 
 
 class DinoViT(nn.Module):

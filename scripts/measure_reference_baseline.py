@@ -33,39 +33,9 @@ import numpy as np
 import torch
 
 
-def analytic_flops(res: int, views: int) -> dict:
-    """Forward FLOPs (multiply-accumulate counted as 2) of the flagship
-    architecture at `res`^2 per-view resolution."""
-    p = 14
-    g = res // p
-    n = g * g + 1  # patches + cls
-
-    def vit_layer(tokens, dim, heads):
-        attn_lin = 2 * tokens * 4 * dim * dim       # qkv + proj
-        attn_mm = 2 * 2 * tokens * tokens * dim      # qk^T + att*v
-        mlp = 2 * tokens * 2 * 4 * dim * dim         # fc1 + fc2 (ratio 4)
-        return attn_lin + attn_mm + mlp
-
-    # DINOv2 ViT-L/14: 24 layers, dim 1024, frame attention per view
-    enc = views * (24 * vit_layer(n, 1024, 16) + 2 * n * (p * p * 3) * 1024)
-    # trunk: 24 alternating layers, dim 1024 — 12 frame (per-view tokens)
-    # + 12 global (all views' tokens together)
-    frame = 12 * views * vit_layer(n, 1024, 16)
-    glob = 12 * vit_layer(views * n + 1, 1024, 16)
-    trunk = frame + glob + views * 2 * n * 1024 * 1024  # input proj
-    # DPT: 4 hook projections + refinement at (g*k)^2 grids + full-res head.
-    # Dominant terms: the 3x3 fusion convs at strides 1/2, 1/4 of full res
-    # and the final output convs at res^2 (feature_dim 256 -> 128 -> ...).
-    f = 256
-    dpt = views * (
-        4 * 2 * g * g * 1024 * f                       # hook 1x1 projections
-        + sum(2 * (g * k) ** 2 * f * f * 9 * 2 for k in (1, 2, 4, 8))
-        + 2 * res * res * f * (f // 2) * 9             # output_conv1 3x3
-        + 2 * res * res * (f // 2) * 32 * 9            # regressor conv 3x3
-    )
-    total = enc + trunk + dpt
-    return {"encoder": enc, "trunk": trunk, "dpt": dpt, "total": total,
-            "per_view": total / views}
+# The analytic model lives in the package so bench.py's MFU extras and
+# this baseline script share one FLOP count (see utils/flops.py).
+from mapanything_tpu.utils.flops import analytic_flops  # noqa: E402
 
 
 def main():
