@@ -83,7 +83,14 @@ def from_pretrained(
             from ..train.checkpoints import load_params
 
             cfg = MapAnythingConfig(dtype=dtype, **overrides)
-            return MapAnything(cfg=cfg), load_params(path)
+            params = load_params(path)
+            if cfg.scan_layers:
+                # orbax checkpoints store the per-layer layout; fold to the
+                # stacked nn.scan layout (utils/weights.stack_scan_params)
+                from ..utils.weights import stack_scan_params
+
+                params = {"params": stack_scan_params(params["params"])}
+            return MapAnything(cfg=cfg), params
 
     from ..utils.weights import (
         convert_mapanything_checkpoint,
@@ -110,4 +117,10 @@ def from_pretrained(
             f"{len(unconverted)} checkpoint tensors have no conversion "
             f"rule, e.g. {unconverted[:5]} (pass strict=False to ignore)"
         )
+    if cfg.scan_layers:
+        # conversion rules emit the per-layer layout; fold to the stacked
+        # nn.scan layout (utils/weights.stack_scan_params)
+        from ..utils.weights import stack_scan_params
+
+        tree = stack_scan_params(tree)
     return MapAnything(cfg=cfg), {"params": tree}

@@ -217,6 +217,12 @@ class DinoViT(nn.Module):
     # are exact (masked softmax == unpadded softmax), so it is safe to
     # leave on everywhere; None disables.
     pad_tokens_to: "int | None" = None
+    # nn.scan over the block stack: O(1) HLO in depth (seconds instead of
+    # minutes of XLA optimization per config). Params live stacked under
+    # blocks/block/... — utils.weights.stack_scan_params converts the
+    # per-layer blocks_{i} layout. Numerics are identical to the unrolled
+    # loop (same ops per layer; tests/test_scan_layers.py).
+    scan_layers: bool = False
 
     @property
     def embed_dim(self) -> int:
@@ -286,13 +292,12 @@ class DinoViT(nn.Module):
                 x = jnp.pad(x, ((0, 0), (0, n_pad - n_tok), (0, 0)))
                 n_valid = n_tok
 
-        block_cls = Block
-        if self.remat:
-            # n_valid (arg 3, counting self) is a static python int
-            block_cls = nn.remat(Block, static_argnums=(3,))
         ls_init = None if self.fold_layerscale else self.layerscale_init
-        for i in range(cfg["depth"]):
-            x = block_cls(
+        if self.scan_layers:
+            from .layers import BlockScanBody, scan_blocks
+
+            x, _ = scan_blocks(BlockScanBody, cfg["depth"],
+                               remat=self.remat)(
                 dim,
                 cfg["num_heads"],
                 mlp_ratio=4.0,
@@ -302,8 +307,27 @@ class DinoViT(nn.Module):
                 param_dtype=self.param_dtype,
                 attn_impl=self.attn_impl,
                 mlp_token_chunk=self.mlp_token_chunk,
-                name=f"blocks_{i}",
-            )(x, None, n_valid)
+                n_valid=n_valid,
+                name="blocks",
+            )(x)
+        else:
+            block_cls = Block
+            if self.remat:
+                # n_valid (arg 3, counting self) is a static python int
+                block_cls = nn.remat(Block, static_argnums=(3,))
+            for i in range(cfg["depth"]):
+                x = block_cls(
+                    dim,
+                    cfg["num_heads"],
+                    mlp_ratio=4.0,
+                    qkv_bias=True,
+                    layerscale_init=ls_init,
+                    dtype=self.dtype,
+                    param_dtype=self.param_dtype,
+                    attn_impl=self.attn_impl,
+                    mlp_token_chunk=self.mlp_token_chunk,
+                    name=f"blocks_{i}",
+                )(x, None, n_valid)
 
         x = FusedLayerNorm(
             epsilon=1e-6, dtype=self.dtype, param_dtype=self.param_dtype,

@@ -239,6 +239,60 @@ class Block(nn.Module):
         return x + h
 
 
+class BlockScanBody(nn.Module):
+    """``nn.scan`` body wrapping one `Block` for O(1)-HLO layer stacks.
+
+    A 24-layer unrolled ViT stack traces ~1.3k HLO ops and costs XLA minutes
+    of optimization per configuration; scanning one shared body brings the
+    program to O(1) in depth (compile-time fix, round-4 VERDICT item 2).
+    Params for the inner block land under ``<scan_name>/block/...`` with a
+    leading ``depth`` axis (``variable_axes={"params": 0}``);
+    `utils.weights.stack_scan_params` maps the per-layer ``blocks_{i}`` /
+    ``layers_{i}`` conversion layout onto it.
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    entropy_scaling_base: Optional[int] = None
+    mlp_token_chunk: Optional[int] = None
+    n_valid: Optional[int] = None  # aligned-token mode (static)
+
+    @nn.compact
+    def __call__(self, x, rope=None):
+        x = Block(
+            self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, layerscale_init=self.layerscale_init,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
+            entropy_scaling_base=self.entropy_scaling_base,
+            mlp_token_chunk=self.mlp_token_chunk, name="block",
+        )(x, rope, self.n_valid)
+        return x, None
+
+
+def scan_blocks(body_cls, depth: int, remat: bool = False, **scan_kwargs):
+    """nn.scan over `depth` applications of a block body (params stacked).
+
+    ``remat=True`` checkpoints each body application (scan-of-remat), the
+    standard per-layer gradient-checkpointing policy.
+    """
+    if remat:
+        body_cls = nn.remat(body_cls, prevent_cse=False)
+    return nn.scan(
+        body_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        length=depth,
+        **scan_kwargs,
+    )
+
+
 class _RingAttention(nn.Module):
     """Attention over [view-sharded patch tokens | replicated extra tokens].
 

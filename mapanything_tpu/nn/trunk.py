@@ -43,6 +43,81 @@ import jax.numpy as jnp
 from .layers import Block, FusedLayerNorm, RingGlobalBlock
 
 
+class _PairScanBody(nn.Module):
+    """One (frame, global) layer pair — the nn.scan body for the alternating
+    trunk's O(1)-HLO mode (see AlternatingAttentionTrunk.scan_layers).
+
+    Params land stacked (leading axis depth//2) under
+    ``pairs/{frame,global}/...``; `utils.weights.stack_scan_params` maps the
+    per-layer ``layers_{2s}``/``layers_{2s+1}`` conversion layout onto it.
+
+    IFR taps: carry holds one buffer per tap index; the body overwrites it
+    when the traced layer counter matches (a trace-static parity check skips
+    the impossible position, so each tap costs one select per scan step).
+    """
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    layerscale_init: Optional[float] = None
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    frame_attn_impl: str = "auto"
+    global_attn_impl: str = "auto"
+    entropy_scaling_base: Optional[int] = None  # global layers only
+    mlp_token_chunk: Optional[int] = None
+    pad_tokens_to: Optional[int] = None
+    tap_layers: tuple = ()  # absolute layer indices (IFR taps)
+
+    @nn.compact
+    def __call__(self, carry, step, rope=None):
+        x, tok, taps = carry  # x (B, V, P, dim), tok (B, T, dim)
+        b, v, p, dim = x.shape
+        t = tok.shape[1]
+
+        def update_taps(taps, layer_idx, parity, val):
+            out = []
+            for li, tap in zip(self.tap_layers, taps):
+                if li % 2 != parity:  # statically impossible at this slot
+                    out.append(tap)
+                else:
+                    out.append(jnp.where(layer_idx == li, val, tap))
+            return tuple(out)
+
+        frame = Block(
+            self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, layerscale_init=self.layerscale_init,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            attn_impl=self.frame_attn_impl,
+            mlp_token_chunk=self.mlp_token_chunk, name="frame",
+        )
+        x = frame(x.reshape(b * v, p, dim), rope, None).reshape(b, v, p, dim)
+        taps = update_taps(taps, 2 * step, 0, x)
+
+        glob = Block(
+            self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+            qkv_bias=self.qkv_bias, layerscale_init=self.layerscale_init,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            attn_impl=self.global_attn_impl,
+            entropy_scaling_base=self.entropy_scaling_base,
+            mlp_token_chunk=self.mlp_token_chunk, name="global",
+        )
+        n_tot = v * p + t
+        pieces = [x.reshape(b, v * p, dim), tok]
+        n_valid = None
+        if self.pad_tokens_to:
+            n_pad = -(-n_tot // self.pad_tokens_to) * self.pad_tokens_to
+            if n_pad != n_tot:
+                pieces.append(jnp.zeros((b, n_pad - n_tot, dim), x.dtype))
+                n_valid = n_tot
+        flat = glob(jnp.concatenate(pieces, axis=1), None, n_valid)
+        x = flat[:, : v * p].reshape(b, v, p, dim)
+        tok = flat[:, v * p : n_tot]
+        taps = update_taps(taps, 2 * step + 1, 1, x)
+        return (x, tok, taps), None
+
+
 class AlternatingAttentionTrunk(nn.Module):
     """Alternating frame/global multi-view transformer with IFR taps."""
 
@@ -83,6 +158,13 @@ class AlternatingAttentionTrunk(nn.Module):
     # Exact; measured -0.15 ms/global-layer at the 2-view 518 shape. None
     # disables (frame layers are per-view ragged either way).
     pad_tokens_to: Optional[int] = None
+    # nn.scan over (frame, global) layer pairs: O(1) HLO in depth — the
+    # compile-time fix for the 24-layer trunk (params stacked under
+    # pairs/{frame,global}; see _PairScanBody and
+    # utils.weights.stack_scan_params). Requires even depth and no
+    # seq_axis (the ring path stays unrolled). Numerics identical to the
+    # unrolled loop (tests/test_scan_layers.py).
+    scan_layers: bool = False
 
     @nn.compact
     def __call__(
@@ -139,6 +221,54 @@ class AlternatingAttentionTrunk(nn.Module):
 
             rope = rope_2d_cos_sin(gh, gw, self.dim // self.num_heads,
                                    self.rope_freq)
+
+        if self.scan_layers and not self.seq_axis:
+            if self.depth % 2:
+                raise ValueError(
+                    "scan_layers needs an even trunk depth (frame/global "
+                    f"pairs); got {self.depth}")
+            from .layers import scan_blocks
+
+            taps0 = tuple(
+                jnp.zeros((b, v, p, self.dim), self.dtype)
+                for _ in self.indices
+            )
+            body = scan_blocks(
+                _PairScanBody, self.depth // 2, remat=self.remat,
+                in_axes=(0, nn.broadcast),
+            )(
+                self.dim, self.num_heads, mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                layerscale_init=self.layerscale_init,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                frame_attn_impl=self.frame_attn_impl,
+                global_attn_impl=self.global_attn_impl,
+                entropy_scaling_base=(p if self.use_entropy_scaling
+                                      else None),
+                mlp_token_chunk=self.mlp_token_chunk,
+                pad_tokens_to=self.pad_tokens_to,
+                tap_layers=tuple(self.indices),
+                name="pairs",
+            )
+            (x, tok, taps), _ = body(
+                (x, tok, taps0), jnp.arange(self.depth // 2), rope)
+            intermediates = []
+            for li, tap in zip(self.indices, taps):
+                feat = tap
+                if self.norm_intermediate:
+                    feat = FusedLayerNorm(
+                        epsilon=1e-6, dtype=self.dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"norm_intermediate_{li}",
+                    )(feat).astype(self.dtype)
+                intermediates.append(feat.reshape(b, v, gh, gw, self.dim))
+            final_norm = FusedLayerNorm(
+                epsilon=1e-6, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="norm",
+            )
+            x = final_norm(x).astype(self.dtype)
+            tok = final_norm(tok).astype(self.dtype)
+            return (x.reshape(b, v, gh, gw, self.dim), intermediates, tok)
 
         intermediates = []
         # n_valid (arg 3, counting self) is a static python int

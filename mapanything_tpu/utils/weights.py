@@ -859,3 +859,104 @@ def infer_model_config(
     if n_res:
         cfg["pose_num_resconv"] = n_res
     return cfg
+
+
+# ---------------------------------------------------------------------------
+# scan-layout conversion (MapAnythingConfig.scan_layers)
+# ---------------------------------------------------------------------------
+_BLOCKS_RE = re.compile(r"^blocks_(\d+)$")
+_LAYERS_RE = re.compile(r"^layers_(\d+)$")
+
+
+def _stack_trees(trees):
+    import jax
+
+    return jax.tree_util.tree_map(lambda *xs: jnp_or_np_stack(xs), *trees)
+
+
+def jnp_or_np_stack(xs):
+    if all(isinstance(x, np.ndarray) for x in xs):
+        return np.stack(xs)
+    import jax.numpy as jnp
+
+    return jnp.stack(xs)
+
+
+def stack_scan_params(params):
+    """Per-layer param layout -> the nn.scan layout (scan_layers=True).
+
+    Rewrites, anywhere in the tree:
+      * ``blocks_{0..D-1}``  -> ``blocks/block/<leaf>`` stacked on axis 0
+        (encoder block stacks, nn/layers.BlockScanBody);
+      * ``layers_{0..2M-1}`` -> ``pairs/{frame,global}/<leaf>`` with the
+        even (frame) and odd (global) layers each stacked on axis 0
+        (alternating trunk, nn/trunk._PairScanBody).
+
+    Leaves may be numpy or jax arrays; subtrees without a complete run of
+    per-layer keys are left untouched. The inverse is
+    `unstack_scan_params` (exact round-trip).
+    """
+    if not isinstance(params, Mapping):
+        return params
+    keys = list(params.keys())
+    blocks = sorted(
+        (int(m.group(1)), k) for k, m in
+        ((k, _BLOCKS_RE.match(k)) for k in keys) if m
+    )
+    layers = sorted(
+        (int(m.group(1)), k) for k, m in
+        ((k, _LAYERS_RE.match(k)) for k in keys) if m
+    )
+    out = {}
+    if blocks and [i for i, _ in blocks] == list(range(len(blocks))):
+        out["blocks"] = {"block": _stack_trees(
+            [stack_scan_params(params[k]) for _, k in blocks])}
+        consumed = {k for _, k in blocks}
+    elif layers and len(layers) % 2 == 0 and (
+            [i for i, _ in layers] == list(range(len(layers)))):
+        out["pairs"] = {
+            "frame": _stack_trees(
+                [stack_scan_params(params[k]) for i, k in layers
+                 if i % 2 == 0]),
+            "global": _stack_trees(
+                [stack_scan_params(params[k]) for i, k in layers
+                 if i % 2 == 1]),
+        }
+        consumed = {k for _, k in layers}
+    else:
+        consumed = set()
+    for k in keys:
+        if k not in consumed:
+            out[k] = stack_scan_params(params[k])
+    return out
+
+
+def unstack_scan_params(params):
+    """Inverse of `stack_scan_params`: scan layout -> per-layer layout."""
+    if not isinstance(params, Mapping):
+        return params
+    out = {}
+    for k in params.keys():
+        v = params[k]
+        if k == "blocks" and isinstance(v, Mapping) and set(v) == {"block"}:
+            import jax
+
+            leaves = jax.tree_util.tree_leaves(v["block"])
+            depth = int(leaves[0].shape[0])
+            for i in range(depth):
+                out[f"blocks_{i}"] = jax.tree_util.tree_map(
+                    lambda x, i=i: x[i], v["block"])
+        elif (k == "pairs" and isinstance(v, Mapping)
+              and set(v) == {"frame", "global"}):
+            import jax
+
+            leaves = jax.tree_util.tree_leaves(v["frame"])
+            m = int(leaves[0].shape[0])
+            for s in range(m):
+                out[f"layers_{2 * s}"] = jax.tree_util.tree_map(
+                    lambda x, s=s: x[s], v["frame"])
+                out[f"layers_{2 * s + 1}"] = jax.tree_util.tree_map(
+                    lambda x, s=s: x[s], v["global"])
+        else:
+            out[k] = unstack_scan_params(v)
+    return out
