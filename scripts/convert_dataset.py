@@ -24,17 +24,70 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _discover_scenes(dataset, root):
+    """Source-specific scene-name discovery, mirroring each reference
+    script's get_original_scene_names: dl3dv buckets scenes under
+    1K..11K (name '<split>_<id>'), megadepth enumerates dense<i>
+    subscenes ('<scene>_<i>'), spring nests under train/test,
+    dynamicreplica collapses the _left/_right stereo dirs, mpsd walks
+    reconstruction_data/<split>/<folder>."""
+    join, isdir, ls = os.path.join, os.path.isdir, os.listdir
+
+    def subdirs(p):
+        return sorted(d for d in ls(p) if isdir(join(p, d)))
+
+    if dataset == "dl3dv":
+        out = []
+        for k in range(1, 12):
+            split = f"{k}K"
+            if isdir(join(root, split)):
+                out += [f"{split}_{s}" for s in subdirs(join(root, split))]
+        return out
+    if dataset == "megadepth":
+        out = []
+        for scene in subdirs(root):
+            for d in sorted(os.listdir(join(root, scene))):
+                if d.startswith("dense") and isdir(join(root, scene, d)):
+                    out.append(f"{scene}_{d[len('dense'):]}")
+        return out
+    if dataset == "spring":
+        out = []
+        for split in ("train", "test"):
+            if isdir(join(root, split)):
+                out += [s for s in subdirs(join(root, split))
+                        if s.isdigit()]
+        return out
+    if dataset == "dynamicreplica":
+        bases = {d[:-len("_left")] if d.endswith("_left")
+                 else d[:-len("_right")]
+                 for d in subdirs(root)
+                 if d.endswith(("_left", "_right"))}
+        return sorted(bases)
+    if dataset == "mpsd":
+        recon = join(root, "reconstruction_data")
+        out = []
+        if isdir(recon):
+            for split in subdirs(recon):
+                out += [f"{split}_{f}" for f in subdirs(join(recon, split))]
+        return out
+    return subdirs(root)
+
+
 def main(argv=None):
     from mapanything_tpu.data import converters
+    from mapanything_tpu.data.converters_corpus import CORPUS_CONVERTERS
 
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("dataset", choices=("eth3d", "scannetppv2", "tav2_wb"))
+    ap.add_argument("dataset", choices=("eth3d", "scannetppv2", "tav2_wb",
+                                        *sorted(CORPUS_CONVERTERS)))
     ap.add_argument("original_root", help="raw dataset tree")
     ap.add_argument("out_root", help="WAI output root")
     ap.add_argument("--scenes", nargs="*", default=None,
                     help="scene names (default: every subdirectory)")
     ap.add_argument("--copy", action="store_true",
                     help="copy files instead of symlinking")
+    ap.add_argument("--ase-calib", default=None,
+                    help="ase: aria device-calibration JSON path")
     ap.add_argument("--test-split-file", default=None,
                     help="scannetppv2: file with one benchmark test scene "
                          "name per line (test frames excluded for those)")
@@ -49,15 +102,14 @@ def main(argv=None):
                          "torch checkpoint after conversion")
     args = ap.parse_args(argv)
 
-    scenes = args.scenes or sorted(
-        d for d in os.listdir(args.original_root)
-        if os.path.isdir(os.path.join(args.original_root, d)))
+    scenes = args.scenes or _discover_scenes(args.dataset,
+                                             args.original_root)
     test_scenes = ()
     if args.test_split_file:
         with open(args.test_split_file) as f:
             test_scenes = tuple(line.strip() for line in f if line.strip())
 
-    convert = {
+    recipes = {
         "eth3d": lambda s: converters.convert_eth3d_scene(
             args.original_root, args.out_root, s, link=not args.copy),
         "scannetppv2": lambda s: converters.convert_scannetppv2_scene(
@@ -65,7 +117,21 @@ def main(argv=None):
             test_scene_names=test_scenes, link=not args.copy),
         "tav2_wb": lambda s: converters.convert_tav2_wb_scene(
             args.original_root, args.out_root, s, link=not args.copy),
-    }[args.dataset]
+        # mpsd re-stores (resizes) rather than symlinking; ase needs the
+        # device calibration JSON
+        "ase": lambda s: CORPUS_CONVERTERS["ase"](
+            args.original_root, args.out_root, s,
+            calib_json_path=args.ase_calib),
+        "mpsd": lambda s: CORPUS_CONVERTERS["mpsd"](
+            args.original_root, args.out_root, s),
+    }
+    if args.dataset not in recipes:
+        fn = CORPUS_CONVERTERS[args.dataset]
+        recipes[args.dataset] = lambda s: fn(
+            args.original_root, args.out_root, s, link=not args.copy)
+    if args.dataset == "ase" and not args.ase_calib:
+        ap.error("--ase-calib is required for the ase recipe")
+    convert = recipes[args.dataset]
 
     for scene in scenes:
         print(f"[{args.dataset}] converting {scene}", flush=True)
