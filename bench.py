@@ -280,11 +280,18 @@ def main():
                 print(f"# deadline: skipping flash telemetry {vv}v",
                       flush=True)
                 break
+            qkv = out = None
             try:
                 ntok = global_attention_tokens(518, vv)
+                # build directly in float32 (standard_normal dtype arg) —
+                # rng.normal materializes float64 (~2.2 GB x3 at 192v) on
+                # a dispatch-starved 1-CPU host (ADVICE r4)
                 qkv = [
-                    jnp.asarray(rng.normal(size=(1, ntok, 16, 64))
-                                .astype(np.float32) * 0.2, jnp.bfloat16)
+                    jnp.asarray(
+                        rng.standard_normal(
+                            size=(1, ntok, 16, 64),
+                            dtype=np.float32) * np.float32(0.2),
+                        jnp.bfloat16)
                     for _ in range(3)
                 ]
                 fl = jax.jit(flash_attention)
@@ -300,10 +307,13 @@ def main():
                 extras[f"flash_tflops_{vv}view"] = round(tfs, 1)
                 print(f"# flash global-attn {vv}v ({ntok} tok): "
                       f"{dt * 1000:.0f} ms, {tfs:.1f} TF/s", flush=True)
-                del qkv, out
             except Exception as e:
                 print(f"# flash telemetry {vv}v failed: "
                       f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                # always free the ~GB-scale device buffers — a failed shape
+                # must not poison the train-step / view-ceiling HBM budget
+                del qkv, out
 
     # ---- extra: training-step throughput (flash bwd + remat) -------------
     if _left() > 240:

@@ -154,19 +154,47 @@ def dl3dv_benchmark_rule(benchmark_csv: str) -> SplitRule:
     return SplitRule(val_scenes=tuple(names))
 
 
+def _resolve_rule(dataset: str, rule: Optional[SplitRule],
+                  for_benchmark: bool) -> SplitRule:
+    if rule is not None:
+        return rule
+    if dataset in SPLIT_RULES:
+        return SPLIT_RULES[dataset]
+    if for_benchmark:
+        # fail-closed: benchmark scene selection must never silently fall
+        # back to the hash-fraction approximation — for DL3DV the protocol
+        # split IS the external benchmark CSV (reference
+        # data_splits.py:1709-1723); register it first via
+        # SPLIT_RULES["dl3dv"] = dl3dv_benchmark_rule(csv_path). Training
+        # may keep the documented fallback (for_benchmark=False).
+        raise LookupError(
+            f"no registered split rule for dataset {dataset!r}: benchmark "
+            "scene selection refuses the hash-fraction fallback (for "
+            "dl3dv, register dl3dv_benchmark_rule(<benchmark-meta.csv>) "
+            "in SPLIT_RULES first)")
+    return DEFAULT_RULE
+
+
 def assign_split(dataset: str, scene: str,
-                 rule: Optional[SplitRule] = None) -> str:
-    """Split name ("train"/"val"/"test") for one scene."""
-    rule = rule or SPLIT_RULES.get(dataset, DEFAULT_RULE)
+                 rule: Optional[SplitRule] = None,
+                 for_benchmark: bool = False) -> str:
+    """Split name ("train"/"val"/"test") for one scene.
+
+    ``for_benchmark=True`` refuses datasets without a registered protocol
+    rule instead of approximating with the hash fraction.
+    """
+    rule = _resolve_rule(dataset, rule, for_benchmark)
     return rule.assign(scene)
 
 
 def split_scenes(dataset: str, scenes: Iterable[str],
-                 rule: Optional[SplitRule] = None) -> Dict[str, List[str]]:
+                 rule: Optional[SplitRule] = None,
+                 for_benchmark: bool = False) -> Dict[str, List[str]]:
     """Partition a scene inventory into the three splits."""
+    rule = _resolve_rule(dataset, rule, for_benchmark)
     out: Dict[str, List[str]] = {s: [] for s in SPLITS}
     for scene in scenes:
-        out[assign_split(dataset, scene, rule)].append(scene)
+        out[rule.assign(scene)].append(scene)
     return out
 
 
@@ -176,12 +204,13 @@ def build_scene_lists(
     metadata_dir: str,
     metadata_stem: Optional[str] = None,
     rule: Optional[SplitRule] = None,
+    for_benchmark: bool = False,
 ) -> Dict[str, str]:
     """Materialize `{stem}_scene_list_{split}.npy` files under
     `{metadata_dir}/{split}/` — the exact layout `WAIDataset._load_scene_list`
     reads. Returns {split: path} for non-empty splits."""
     stem = metadata_stem or dataset
-    parts = split_scenes(dataset, scenes, rule)
+    parts = split_scenes(dataset, scenes, rule, for_benchmark=for_benchmark)
     paths = {}
     for split, names in parts.items():
         if not names:

@@ -585,6 +585,46 @@ class TestSplits:
         assert not a["test"]
         assert sorted(a["train"] + a["val"]) == scenes
 
+    def test_benchmark_split_fails_closed_without_rule(self):
+        """Benchmark scene selection must REFUSE datasets whose protocol
+        split is an external artifact that is absent (DL3DV's benchmark
+        CSV, reference data_splits.py:1709-1723) instead of silently
+        approximating with the hash fraction; training keeps the
+        documented fallback (VERDICT r4 item 8)."""
+        import pytest as _pytest
+
+        from mapanything_tpu.data.splits import (
+            SPLIT_RULES,
+            assign_split,
+            dl3dv_benchmark_rule,
+            split_scenes,
+        )
+
+        assert "dl3dv" not in SPLIT_RULES  # precondition: CSV not loaded
+        with _pytest.raises(LookupError):
+            assign_split("dl3dv", "abc123", for_benchmark=True)
+        with _pytest.raises(LookupError):
+            split_scenes("dl3dv", ["abc123"], for_benchmark=True)
+        # training path keeps the fallback
+        assert assign_split("dl3dv", "abc123") in ("train", "val")
+
+        # with the CSV registered, the benchmark path works
+        import csv
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(
+                "w", suffix=".csv", delete=False) as f:
+            w = csv.DictWriter(f, fieldnames=["hash", "other"])
+            w.writeheader()
+            w.writerow({"hash": "scene_a", "other": "x"})
+            w.writerow({"hash": "scene_b", "other": "y"})
+            csv_path = f.name
+        rule = dl3dv_benchmark_rule(csv_path)
+        assert assign_split("dl3dv", "scene_a", rule=rule,
+                            for_benchmark=True) == "val"
+        assert assign_split("dl3dv", "unlisted", rule=rule,
+                            for_benchmark=True) == "train"
+
     def test_curated_splits_match_reference_1to1(self):
         """Every dataset with a PUBLISHED split in the reference's
         data_splits.py must be reproduced exactly by assign_split —

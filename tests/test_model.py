@@ -136,6 +136,31 @@ class TestForward:
             np.asarray(a["pts3d"]), np.asarray(b["pts3d"]), atol=1e-5
         )
 
+    def test_heads_dtype_bf16_pose_tolerance(self, tiny_model_and_params):
+        """heads_dtype='bfloat16' (the serving path's auto resolution) vs
+        the fp32 island: pose outputs must stay within bf16-rounding
+        tolerance of fp32 — the reference keeps all downstream heads in an
+        autocast-off fp32 island (model.py:1599), so a silent pose-quality
+        regression here is the risk ADVICE r4 flagged."""
+        import dataclasses
+
+        model, params = tiny_model_and_params
+        views = _full_views()
+        ref = _japply(model, GeometricInputConfig())(params, views)
+        bf16_model = MapAnything(
+            cfg=dataclasses.replace(TINY, heads_dtype="bfloat16"))
+        out = _japply(bf16_model, GeometricInputConfig())(params, views)
+        for key, tol in (("cam_trans", 2e-2), ("cam_quats", 2e-2),
+                         ("depth_along_ray", 3e-2),
+                         ("metric_scaling_factor", 2e-2)):
+            a, b = np.asarray(ref[key]), np.asarray(out[key])
+            scale = max(1.0, float(np.abs(a).max()))
+            err = float(np.abs(a - b).max()) / scale
+            assert err < tol, f"bf16 heads diverged on {key}: rel {err:.2e}"
+        # quats must stay unit-normalized in bf16 too
+        qn = np.linalg.norm(np.asarray(out["cam_quats"]), axis=-1)
+        np.testing.assert_allclose(qn, 1.0, atol=1e-2)
+
     def test_stochastic_requires_rng(self, tiny_model_and_params):
         model, params = tiny_model_and_params
         with pytest.raises(ValueError, match="rng"):
