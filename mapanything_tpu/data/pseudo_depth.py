@@ -67,13 +67,21 @@ def run_pseudo_depth_stage(
 
     Writes pred_depth/<model>/<frame>.exr (z-depth) and
     pred_mask/<model>/<frame>.png, registers both frame modalities, and
-    returns the scene root.
+    returns the scene root. When the adapter emits its OWN per-pixel
+    confidence (a "conf" output — MVS models score their matching cost,
+    run_mvsanywhere.py's model does; MapAnything self-labeling emits its
+    confidence head), it is stored as depth_confidence/<model> directly
+    from the generator — the same modality name the consistency FILTER
+    (`run_depth_consistency_stage`) produces, so the quirk pipeline
+    thresholds either source identically.
     """
     scene_root = Path(scene_root)
     meta = load_scene_meta(scene_root / "scene_meta.json")
     frames = meta["frames"]
     depth_key = f"pred_depth/{model_name}"
     mask_key = f"pred_mask/{model_name}"
+    conf_key = f"depth_confidence/{model_name}"
+    wrote_conf = False
 
     if params is None:
         params = {}
@@ -93,6 +101,10 @@ def run_pseudo_depth_stage(
         z = np.asarray(preds["pts3d_cam"], np.float32)[0, ..., 2]
         m = np.asarray(preds["non_ambiguous_mask"])[0].astype(bool)
         z = np.where(np.isfinite(z) & (z > 0), z, 0.0)
+        conf = None
+        if "conf" in preds:  # model-emitted confidence (MVS-style)
+            conf = np.asarray(preds["conf"], np.float32)[0]
+            conf = np.where(np.isfinite(conf), conf, 0.0)
         for i, fr in enumerate(chunk):
             name = fr["frame_name"]
             rel_depth = f"pred_depth/{model_name}/{name}.exr"
@@ -101,11 +113,19 @@ def run_pseudo_depth_stage(
             store_data(scene_root / rel_mask, m[i], "binary")
             fr[depth_key] = rel_depth
             fr[mask_key] = rel_mask
+            if conf is not None:
+                rel_conf = f"depth_confidence/{model_name}/{name}.exr"
+                store_data(scene_root / rel_conf, conf[i], "depth")
+                fr[conf_key] = rel_conf
+                wrote_conf = True
 
     meta["frame_modalities"][depth_key] = {"frame_key": depth_key,
                                            "format": "depth"}
     meta["frame_modalities"][mask_key] = {"frame_key": mask_key,
                                           "format": "binary"}
+    if wrote_conf:
+        meta["frame_modalities"][conf_key] = {"frame_key": conf_key,
+                                              "format": "depth"}
     meta.pop("frame_names", None)  # derived; regenerated by the reader
     store_data(scene_root / "scene_meta.json", meta, "readable")
     return scene_root

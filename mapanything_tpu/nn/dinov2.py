@@ -35,6 +35,11 @@ DINOV2_CONFIGS = {
     # "test" is not a real DINOv2: a 2-layer stub with the same module
     # structure, for fast unit tests / dryruns only.
     "test": dict(embed_dim=64, depth=2, num_heads=2),
+    # "wide_test": released ViT-L CHANNEL dims (1024-wide, fused qkv 3072,
+    # MLP 4096, 16 heads) at depth 2 — for the multichip dryrun to shard
+    # the production kernel widths under tp without paying 24 layers of
+    # CPU compile/compute. Not a real DINOv2.
+    "wide_test": dict(embed_dim=1024, depth=2, num_heads=16),
     "small": dict(embed_dim=384, depth=12, num_heads=6),
     "base": dict(embed_dim=768, depth=12, num_heads=12),
     "large": dict(embed_dim=1024, depth=24, num_heads=16),

@@ -63,6 +63,15 @@ def view_sharded_forward(
             "view_sharded_forward requires a deterministic geom_cfg "
             "(0/1 probabilities); got a stochastic training mix"
         )
+    if getattr(model.cfg, "scan_layers", False):
+        # the ring path stays unrolled (nn/trunk.py: scan_layers requires
+        # no seq_axis), so fold a scan-layout checkpoint back to the
+        # per-layer layout and drive the unrolled model throughout
+        from ..utils.weights import unstack_scan_params
+
+        params = dict(params, params=unstack_scan_params(params["params"]))
+        model = type(model)(
+            cfg=dataclasses.replace(model.cfg, scan_layers=False))
     size = mesh.shape[seq_axis]
     v = views["img"].shape[1]
     if v % size != 0:

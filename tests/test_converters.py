@@ -406,7 +406,51 @@ class _FakeMonoAdapter:
                 "non_ambiguous_mask": jnp.asarray(mask)}
 
 
+class _FakeMVSAdapter(_FakeMonoAdapter):
+    """MVS-style stand-in that ALSO emits its own per-pixel confidence
+    (the run_mvsanywhere.py posture: the generating model scores its own
+    matching cost) — confidence = 1/depth so the stored map is
+    content-dependent and checkable."""
+
+    def apply(self, params, views, geom_cfg=None, memory_efficient=False):
+        import jax.numpy as jnp
+
+        out = super().apply(params, views, geom_cfg, memory_efficient)
+        z = np.asarray(out["pts3d_cam"])[..., 2]
+        out["conf"] = jnp.asarray(1.0 / z)
+        return out
+
+
 class TestTAv2AndPseudoDepth:
+    def test_generator_emitted_confidence(self, tmp_path):
+        """When the generating adapter emits its own confidence (an MVS
+        model, run_mvsanywhere.py), the stage stores it directly as
+        depth_confidence/<model> — no consistency filter needed
+        (round-4 VERDICT item 9)."""
+        from mapanything_tpu.data.pseudo_depth import run_pseudo_depth_stage
+
+        _write_tav2_scene(tmp_path / "raw")
+        dst = convert_tav2_wb_scene(tmp_path / "raw", tmp_path / "wai",
+                                    "Supermarket", link=False)
+        run_pseudo_depth_stage(dst, _FakeMVSAdapter(), batch_frames=2,
+                               model_name="mvsanywhere")
+        meta = load_scene_meta(dst / "scene_meta.json")
+        assert "depth_confidence/mvsanywhere" in meta["frame_modalities"]
+        data = load_frame(
+            dst, 0,
+            modalities=["pred_depth/mvsanywhere",
+                        "depth_confidence/mvsanywhere"],
+            scene_meta=meta)
+        z = data["pred_depth/mvsanywhere"]
+        conf = data["depth_confidence/mvsanywhere"]
+        np.testing.assert_allclose(conf, 1.0 / z, rtol=1e-5)
+
+        # the mono adapter (no conf output) must NOT register the modality
+        run_pseudo_depth_stage(dst, _FakeMonoAdapter(), batch_frames=2,
+                               model_name="moge2")
+        meta = load_scene_meta(dst / "scene_meta.json")
+        assert "depth_confidence/moge2" not in meta["frame_modalities"]
+
     def test_convert_carries_npy_geometry(self, tmp_path):
         K = _write_tav2_scene(tmp_path / "raw")
         dst = convert_tav2_wb_scene(tmp_path / "raw", tmp_path / "wai",
