@@ -97,6 +97,7 @@ def main():
         MapAnythingConfig,
         images_only_config,
         jit_init,
+        resolve_memory_policy,
     )
     from mapanything_tpu.utils.inference import postprocess_outputs
 
@@ -146,34 +147,43 @@ def main():
         )
     )
 
-    def build(geom, memory_efficient=False):
+    import dataclasses as _dc
+
+    def build(geom, b, v, hh=None, ww=None):
+        # Memory-efficiency knobs resolved per shape (round-4 VERDICT item
+        # 1a): small view counts run fully dense; larger ones get exactly
+        # the chunking HBM needs (models.resolve_memory_policy, calibrated
+        # by scripts/perf/manyview_policy_probe.py).
+        pol = resolve_memory_policy(cfg, b, v, hh or h, ww or w)
+        run_model = (model if pol.cfg == cfg else MapAnything(cfg=pol.cfg))
         # Forward and postprocess stay SEPARATELY jitted — fusing them into
         # one program makes XLA's optimization passes superlinear (~490s
         # compile vs ~50s split, see utils/inference.py). Both dispatches
         # are async, so the sustained (pipelined) measurement overlaps them.
         fwd = jax.jit(
-            lambda p, v: model.apply(p, v, geom,
-                                     memory_efficient=memory_efficient)
+            lambda p, vw: run_model.apply(
+                p, vw, geom, memory_efficient=pol.memory_efficient)
         )
-        if memory_efficient:
+        if pol.memory_efficient:
             # chunked postprocess + donated preds: fp32 intermediates exist
             # only at chunk width and XLA reuses the forward's output
             # buffers, which is what lets 100+ views fit 16 GB
             mem_post = jax.jit(
                 lambda preds, imgs: postprocess_outputs(
                     preds, imgs, apply_mask=True, mask_edges=True,
-                    apply_confidence_mask=True, view_chunk=8,
+                    apply_confidence_mask=True,
+                    view_chunk=pol.post_view_chunk,
                 ),
                 donate_argnums=(0,),
             )
 
-            def infer_fn(p, v):
-                return mem_post(fwd(p, v), v["img"])
+            def infer_fn(p, vw):
+                return mem_post(fwd(p, vw), vw["img"])
 
             return infer_fn
 
-        def infer_fn(p, v):
-            return post(fwd(p, v), v["img"])
+        def infer_fn(p, vw):
+            return post(fwd(p, vw), vw["img"])
 
         return infer_fn
 
@@ -208,7 +218,7 @@ def main():
 
     # ---- primary: batched 2-view throughput (BASELINE config 2) ----------
     b, v, h, w = 4, 2, 518, 518
-    infer2 = build(images_only)
+    infer2 = build(images_only, b, v)
     views2 = make_views(b, v, h, w)
     t0 = time.time()
     p50_2 = timed(infer2, params, views2, iters=10)
@@ -245,25 +255,28 @@ def main():
 
     # ---- extras: BASELINE configs 1, 3, 4, 5 ------------------------------
     sweeps = [
-        # (key, geom, mem_eff, b, v, iters)
-        ("p50_e2e_latency_1view_ms", images_only, False, 1, 1, 5),
-        ("p50_e2e_latency_multimodal_4view_ms", multimodal_cfg, False, 1, 4, 5),
-        ("p50_e2e_latency_32view_ms", images_only, True, 1, 32, 3),
-        ("p50_e2e_latency_100view_ms", images_only, True, 1, 100, 2),
+        # (key, geom, b, v, iters)
+        ("p50_e2e_latency_1view_ms", images_only, 1, 1, 5),
+        ("p50_e2e_latency_multimodal_4view_ms", multimodal_cfg, 1, 4, 5),
+        ("p50_e2e_latency_32view_ms", images_only, 1, 32, 3),
+        ("p50_e2e_latency_100view_ms", images_only, 1, 100, 2),
     ]
-    for key, geom, mem_eff, bb, vv, iters in sweeps:
+    for key, geom, bb, vv, iters in sweeps:
         if _left() < 120:
             print(f"# deadline: skipping {key}", flush=True)
             continue
         try:
-            fn = build(geom, memory_efficient=mem_eff)
+            t_build = time.time()
+            fn = build(geom, bb, vv)
             vws = make_views(bb, vv, h, w,
                              multimodal=geom is multimodal_cfg)
             p50 = timed(fn, params, vws, iters=iters)
             extras[key] = round(p50 * 1000, 1)
             extras[key.replace("p50_e2e_latency_", "views_per_sec_").replace(
                 "_ms", "")] = round(bb * vv / p50, 2)
-            print(f"# {key}: {p50 * 1000:.0f} ms", flush=True)
+            print(f"# {key}: {p50 * 1000:.0f} ms "
+                  f"(phase {time.time() - t_build:.0f}s, "
+                  f"elapsed {time.time() - _T0:.0f}s)", flush=True)
         except Exception as e:  # keep the primary metric printable
             print(f"# {key} failed: {type(e).__name__}: {e}", flush=True)
 

@@ -8,8 +8,10 @@ from .mapanything import (
     GeometricInputConfig,
     MapAnything,
     MapAnythingConfig,
+    MemoryPolicy,
     aug_training_config,
     images_only_config,
+    resolve_memory_policy,
 )
 
 MODEL_CONFIGS: Dict[str, Any] = {
@@ -70,7 +72,9 @@ __all__ = [
     "aug_training_config",
     "images_only_config",
     "jit_init",
+    "MemoryPolicy",
     "model_factory",
+    "resolve_memory_policy",
     "task_config",
 ]
 

@@ -65,7 +65,12 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
     m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2((s.astype(jnp.float32) - m_new)).astype(s_dtype)
+    # exp2 directly in the S dtype (no fp32 up/down round-trip): s - m_new
+    # is bf16-quantized anyway, exp2 lands in [0, 1], and dropping the
+    # (bq, bk) fp32 intermediate measures +6% at 32/100-view lengths AND
+    # halves the tile's VMEM footprint (which unlocks block_q=1024; see
+    # the cap in the wrapper).
+    p = jnp.exp2(s - m_new.astype(s_dtype))
 
     # V carries a ones column (d+1 wide), so the PV dot emits [pv | rowsum]
     # and column d of the fp32 accumulator IS the running softmax sum — its
@@ -84,6 +89,80 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, acc_ref,
         # guard fully-masked rows (only possible for padded q rows)
         safe_l = jnp.where(l == 0, 1.0, l)
         o_ref[0] = (acc_ref[:, :d] / safe_l).astype(o_ref.dtype)
+
+
+def _flash_kernel_T(k_ref, qt_ref, vt_ref, o_ref, m_ref, acc_ref,
+                    *, scale: float, d: int):
+    """Transposed-layout online kernel: S^T = K Q^T, acc^T = V^T P^T.
+
+    Why: with H=16, D=64 heads, BOTH matmuls of the row-major kernel run
+    the 128x128 MXU at half rate — QK contracts over d=64 (half the
+    systolic depth) and PV's output is d+1=65 lanes (half the lane width) —
+    capping it at ~98 TF/s; the measured no-softmax variant hits 79
+    (scripts/perf/flash_bottleneck_probe.py). Transposing flips PV to
+    (d_pad, bk) x (bk, bq): FULL bk-deep contraction and FULL bq-lane
+    output, lifting the balanced ceiling to ~131 TF/s. QK keeps its
+    structural d=64 half-rate either way. The softmax reductions become
+    sublane-axis reductions; m/alpha live as (1, bq) lane vectors.
+
+    vt carries the ones ROW at index d (rows > d are zero padding to the
+    16-sublane multiple), so column d of the accumulator is the running
+    softmax sum, exactly like the row-major kernels' ones-column.
+    """
+    j = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qt = qt_ref[0] * jnp.asarray(scale * 1.4426950408889634, qt_ref.dtype)
+    s_dtype = jnp.bfloat16 if qt_ref.dtype == jnp.bfloat16 else jnp.float32
+    # (bk, d) x (d, bq) -> (bk, bq); contraction d=64 (the structural half)
+    s = jax.lax.dot_general(
+        k_ref[0], qt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(s_dtype)
+
+    m_prev = m_ref[:1]  # (1, bq)
+    m_cur = jnp.max(s, axis=0, keepdims=True).astype(jnp.float32)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp2(m_prev - m_new)  # (1, bq) fp32
+    p = jnp.exp2(s - m_new.astype(s_dtype))  # (bk, bq)
+    # (d_pad, bk) x (bk, bq): full-depth contraction, full-lane output
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+
+    @pl.when(j == nk - 1)
+    def _finalize():
+        l = acc_ref[d:d + 1, :]  # (1, bq) running softmax sum
+        safe_l = jnp.where(l == 0, 1.0, l)
+        o_ref[0] = (acc_ref[:d, :] / safe_l).astype(o_ref.dtype)
+
+
+def _flash_kernel_1pass_T(k_ref, qt_ref, vt_ref, o_ref, *, scale: float,
+                          d: int):
+    """Transposed single k-block kernel (see _flash_kernel_T for why the
+    transposed layout doubles the PV matmul's MXU rate). One-shot softmax:
+    no carry scratch, reductions run along the sublane axis."""
+    qt = qt_ref[0] * jnp.asarray(scale * 1.4426950408889634, qt_ref.dtype)
+    s_dtype = jnp.bfloat16 if qt_ref.dtype == jnp.bfloat16 else jnp.float32
+    s = jax.lax.dot_general(
+        k_ref[0], qt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(s_dtype)  # (bk, bq)
+    m = jnp.max(s, axis=0, keepdims=True)  # (1, bq)
+    p = jnp.exp2(s - m)
+    acc = jax.lax.dot_general(
+        vt_ref[0], p.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dv, bq); row d is the softmax row sum
+    l = acc[d:d + 1, :]
+    o_ref[0] = (acc[:d, :] / jnp.where(l == 0, 1.0, l)).astype(o_ref.dtype)
 
 
 def _flash_kernel_1pass(q_ref, k_ref, v_ref, o_ref,
@@ -151,7 +230,7 @@ def pick_block(n: int, target: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "single_pass_max",
-                     "n_valid"),
+                     "n_valid", "onepass_t"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -162,6 +241,7 @@ def flash_attention(
     interpret: bool = False,
     single_pass_max: int = 2816,
     n_valid: int | None = None,
+    onepass_t: bool = True,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v without materializing the score matrix.
 
@@ -196,14 +276,21 @@ def flash_attention(
         block_k = _round_up(kv_len, 128)
         block_q = pick_block(n, block_q)
     else:
+        if (block_q, block_k) == (1408, 2048):
+            # canonical defaults -> the measured-best blocks for the
+            # transposed multi-block kernel (tall q: bq is the LANES axis
+            # there, and narrow k amortizes the per-k-block rescale):
+            # 90.7 TF/s at 32 views / 104.2 at 100 views vs 87.4/100.8 for
+            # 1024x2048 (scripts/perf/flash_longseq_tuning.py). Explicit
+            # caller blocks (tests exercising small shapes) are respected.
+            block_q, block_k = 2048, 1024
         block_k = pick_block(kv_len, block_k)
-        # The online kernel's VMEM footprint scales with block_q x block_k
-        # (bf16 S and P tiles plus an fp32 exp2 intermediate): 1024 x 2048
-        # overflows the 16 MB scoped-VMEM limit. Cap q-blocks so the tile
-        # area stays within the proven budget — a wide k-block is preferred
-        # over a tall q-block because the acc-rescale work per k-block is
-        # O(n_pad * d * num_k_blocks), independent of block_q.
-        block_q = pick_block(n, min(block_q, 2**20 // block_k))
+        # The kernel's VMEM footprint scales with block_q x block_k. bf16
+        # inputs keep the whole S/P chain in bf16 (no fp32 tile), so a
+        # 2^21-element tile fits scoped VMEM; fp32 inputs carry an fp32
+        # score tile and keep the smaller cap.
+        tile_budget = 2**21 if q.dtype == jnp.bfloat16 else 2**20
+        block_q = pick_block(n, min(block_q, tile_budget // block_k))
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)
 
@@ -233,7 +320,7 @@ def flash_attention(
     qb = to_bh(q, n_pad)
     kb = to_bh(k, kv_pad)
 
-    if kv_pad == block_k:
+    if kv_pad == block_k and not onepass_t:
         # single k-block: one-shot softmax, no carry scratch
         vb = to_bh(v, kv_pad, extra_ones=True)
         grid = (b * h, n_pad // block_q)
@@ -254,27 +341,76 @@ def flash_attention(
         out = out[:, :n].reshape(b, h, n, d)
         return jnp.swapaxes(out, 1, 2)
 
-    vb = to_bh(v, kv_pad, extra_ones=True)
+    # Multi-block (long-sequence) path: TRANSPOSED layout. S^T = K Q^T and
+    # acc^T = V^T P^T run the PV matmul at full MXU rate (see
+    # _flash_kernel_T); measured +~30% over the row-major online kernel at
+    # 32/100-view lengths. The q/v transposes and the output transpose are
+    # one-time full-array passes (~0.3 ms at 100 views), amortized over the
+    # num_k_blocks-deep grid.
+    qt = jnp.swapaxes(qb, 1, 2)  # (b*h, d, n_pad)
+    # v^T with the ones row at index d, rows padded to a sublane multiple
+    dv = _round_up(d + 1, 16)
+    vt = jnp.swapaxes(v, 1, 2).reshape(b * h, kv_len, d)
+    if n_valid is not None and n_valid < kv_len:
+        import numpy as _np
+
+        col = (_np.arange(kv_len) < n_valid).astype(_np.float32)
+        ones_row = jnp.broadcast_to(
+            jnp.asarray(col, v.dtype)[None, :, None], (b * h, kv_len, 1))
+    else:
+        ones_row = jnp.ones((b * h, kv_len, 1), v.dtype)
+    vt = jnp.concatenate([vt, ones_row], axis=-1)  # (b*h, kv, d+1)
+    vt = jnp.swapaxes(vt, 1, 2)  # (b*h, d+1, kv)
+    vt = jnp.pad(vt, ((0, 0), (0, dv - d - 1), (0, kv_pad - kv_len)))
+
+    if kv_pad == block_k:
+        # transposed single k-block: one-shot softmax, no carry scratch.
+        # Cap the score tile (kv_pad x bq) to scoped VMEM — at the default
+        # single_pass_max (2816) the standard blocks fit, but callers that
+        # raise it (tests/probes) would otherwise stack-OOM the kernel.
+        tile_budget = 2**22 if q.dtype == jnp.bfloat16 else 2**21
+        bq1 = pick_block(n, max(128, min(block_q, tile_budget // kv_pad)))
+        n_pad1 = _round_up(n, bq1)
+        if n_pad1 > n_pad:
+            qt = jnp.pad(qt, ((0, 0), (0, 0), (0, n_pad1 - n_pad)))
+        elif n_pad1 < n_pad:
+            qt = qt[:, :, :n_pad1]  # only garbage q pad rows are dropped
+        grid = (b * h, n_pad1 // bq1)
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_1pass_T, scale=scale, d=d),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, d, bq1), lambda bh, i: (bh, 0, i)),
+                pl.BlockSpec((1, dv, block_k), lambda bh, i: (bh, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, d, bq1), lambda bh, i: (bh, 0, i)),
+            out_shape=jax.ShapeDtypeStruct((b * h, d, n_pad1), q.dtype),
+            interpret=interpret,
+        )(kb, qt, vt)
+        out = jnp.swapaxes(out, 1, 2)[:, :n].reshape(b, h, n, d)
+        return jnp.swapaxes(out, 1, 2)
+
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, d=d
+            _flash_kernel_T, scale=scale, d=d
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d + 1), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),
+            pl.BlockSpec((1, dv, block_k), lambda bh, i, j: (bh, 0, j)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+        out_specs=pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((b * h, d, n_pad), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
-            # output accumulator; column d carries the running softmax sum
-            pltpu.VMEM((block_q, d + 1), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max (row 0)
+            # transposed accumulator; row d carries the softmax row sum
+            pltpu.VMEM((dv, block_q), jnp.float32),
         ],
         interpret=interpret,
-    )(qb, kb, vb)
+    )(kb, qt, vt)
 
-    out = out[:, :n].reshape(b, h, n, d)
+    out = jnp.swapaxes(out, 1, 2)[:, :n].reshape(b, h, n, d)
     return jnp.swapaxes(out, 1, 2)

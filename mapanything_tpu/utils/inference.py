@@ -377,7 +377,7 @@ class InferencePipeline:
     def infer(
         self,
         views: List[Dict[str, Any]],
-        memory_efficient_inference: bool = False,
+        memory_efficient_inference: "bool | str" = "auto",
         apply_mask: bool = True,
         mask_edges: bool = True,
         edge_normal_threshold: float = 5.0,
@@ -439,8 +439,28 @@ class InferencePipeline:
                     1.0 if ignore_pose_scale_inputs else 0.0),
             )
 
+        # Resolve "auto" memory-efficiency to concrete chunking knobs for
+        # THIS shape (models.resolve_memory_policy): small view counts run
+        # the fully-dense program, large ones get exactly the chunking HBM
+        # requires — the trace-time analogue of the reference's adaptive
+        # free-memory minibatching (model.py:1263-1438).
+        bsz, nv, ih, iw = batched["img"].shape[:4]
+        if memory_efficient_inference == "auto":
+            from ..models.mapanything import resolve_memory_policy
+
+            pol = resolve_memory_policy(self.model.cfg, bsz, nv, ih, iw)
+            mem_eff = pol.memory_efficient
+            post_chunk = pol.post_view_chunk
+            run_model = (self.model if pol.cfg == self.model.cfg
+                         else type(self.model)(cfg=pol.cfg))
+        else:
+            mem_eff = bool(memory_efficient_inference)
+            post_chunk = 8 if mem_eff else None
+            run_model = self.model
+
         flags = (
-            geom_cfg, memory_efficient_inference, apply_mask, mask_edges,
+            geom_cfg, mem_eff, post_chunk, run_model.cfg,
+            apply_mask, mask_edges,
             edge_normal_threshold, edge_depth_threshold, apply_confidence_mask,
             confidence_percentile, data_norm_type,
             tuple(sorted(batched.keys())),
@@ -458,18 +478,18 @@ class InferencePipeline:
                 # jit so repeat calls hit the trace cache — unjitted, every
                 # request would redo the eval_shape + shard_map setup
                 fwd = jax.jit(partial(
-                    view_sharded_forward, self.model,
+                    view_sharded_forward, run_model,
                     mesh=self.view_shard_mesh, geom_cfg=geom_cfg,
                     seq_axis=self.seq_axis,
-                    memory_efficient=memory_efficient_inference,
+                    memory_efficient=mem_eff,
                 ))
             else:
                 fwd = jax.jit(
                     partial(
                         _forward_only,
-                        model=self.model,
+                        model=run_model,
                         geom_cfg=geom_cfg,
-                        memory_efficient=memory_efficient_inference,
+                        memory_efficient=mem_eff,
                     )
                 )
             post = jax.jit(
@@ -485,10 +505,9 @@ class InferencePipeline:
                     # memory-efficient requests chunk the postprocess too
                     # (per-view-exact, see postprocess_outputs) and donate
                     # the forward's outputs for buffer reuse
-                    view_chunk=(
-                        8 if memory_efficient_inference else None),
+                    view_chunk=post_chunk,
                 ),
-                donate_argnums=(0,) if memory_efficient_inference else (),
+                donate_argnums=(0,) if mem_eff else (),
             )
             fn = (fwd, post)
             self._jitted[flags] = fn

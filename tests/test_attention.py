@@ -27,6 +27,28 @@ class TestFlashAttention:
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
         )
 
+    @pytest.mark.parametrize("n", [256, 500])  # aligned + ragged kv
+    def test_onepass_transposed_matches_xla(self, rng, n):
+        q, k, v = _qkv(rng, 2, n, 4, 64)
+        ref = _sdpa_xla(q, k, v)
+        out = flash_attention(q, k, v, block_q=128, block_k=128,
+                              interpret=True, onepass_t=True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_onepass_transposed_n_valid(self, rng):
+        q, k, v = _qkv(rng, 1, 300, 2, 64)
+        pad = 384 - 300
+        qp, kp, vp = [jnp.pad(x, ((0, 0), (0, pad), (0, 0), (0, 0)))
+                      for x in (q, k, v)]
+        ref = _sdpa_xla(q, k, v)
+        out = flash_attention(qp, kp, vp, block_q=128, block_k=128,
+                              interpret=True, n_valid=300, onepass_t=True)
+        np.testing.assert_allclose(
+            np.asarray(out[:, :300]), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
     @pytest.mark.parametrize("n", [384, 500])  # aligned + ragged final block
     def test_online_multiblock_matches_xla(self, rng, n):
         """The online-softmax k-block kernel (the serving path for >2816-token
