@@ -22,6 +22,14 @@ upper bound is reported as extras["vs_baseline_high_bound"]).
 
 A soft deadline (BENCH_DEADLINE_S, default 1500s) skips remaining extras if
 compiles run long; the primary metric always prints.
+
+Compile starvation fix (round-4 VERDICT item 2): every sweep config is
+AOT-compiled (jit(...).lower().compile()) on its own WORKER THREAD up
+front. Compilation runs in the remote compile-helper pool (not on the
+TPU), so the configs' compiles overlap each other — total compile wall
+time is the slowest config (~4 min for 100-view), not the ~20-minute sum
+that deleted four protocol metrics in round 4. Measurements start as soon
+as their config's executable is ready.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import jax
 import jax.numpy as jnp
@@ -109,13 +118,17 @@ def main():
     rng = np.random.default_rng(0)
 
     def make_views(b, v, h, w, multimodal=False):
+        # standard_normal(dtype=float32): rng.normal would materialize a
+        # float64 intermediate (~640 MB at 100 views) on the 1-CPU host
         views = {
             "img": jnp.asarray(
-                rng.normal(size=(b, v, h, w, 3)).astype(np.float32) * 0.3
+                rng.standard_normal(size=(b, v, h, w, 3),
+                                    dtype=np.float32) * np.float32(0.3)
             )
         }
         if multimodal:
-            rays = rng.normal(size=(b, v, h, w, 3)).astype(np.float32)
+            rays = rng.standard_normal(size=(b, v, h, w, 3),
+                                       dtype=np.float32)
             rays[..., 2] = np.abs(rays[..., 2]) + 1.0
             rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
             q = rng.normal(size=(b, v, 4)).astype(np.float32)
@@ -137,53 +150,78 @@ def main():
     # Params: init once abstractly per input signature family. The prior
     # encoders only materialize when conditioning inputs are present, so
     # init with the multimodal signature (superset) and reuse everywhere.
+    # numpy-filled from the abstract init (instant; values don't change
+    # timing — every hot op is data-independent, incl. the fixed-iteration
+    # percentile bisection) instead of a device jit_init whose init program
+    # costs its own ~minute compile before the AOT pool can start.
     sig_views = make_views(1, 2, 210, 518, multimodal=True)
-    params = jit_init(model, jax.random.PRNGKey(0), sig_views, multimodal_cfg)
+    params_sds = jax.eval_shape(
+        lambda: jit_init(model, jax.random.PRNGKey(0), sig_views,
+                         multimodal_cfg))
+    _prng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            _prng.standard_normal(s.shape, dtype=np.float32) * 0.02, s.dtype),
+        params_sds)
+    del sig_views
 
-    post = jax.jit(
-        lambda preds, imgs: postprocess_outputs(
-            preds, imgs, apply_mask=True, mask_edges=True,
-            apply_confidence_mask=True,
-        )
-    )
+    def views_sds(b, v, hh, ww, multimodal=False):
+        """ShapeDtypeStruct mirror of make_views (no host arrays built)."""
+        sds = {"img": jax.ShapeDtypeStruct((b, v, hh, ww, 3), jnp.float32)}
+        if multimodal:
+            sds["ray_directions_cam"] = jax.ShapeDtypeStruct(
+                (b, v, hh, ww, 3), jnp.float32)
+            sds["camera_pose_quats"] = jax.ShapeDtypeStruct(
+                (b, v, 4), jnp.float32)
+            sds["camera_pose_trans"] = jax.ShapeDtypeStruct(
+                (b, v, 3), jnp.float32)
+            sds["is_metric_scale"] = jax.ShapeDtypeStruct((b, v), jnp.bool_)
+        return sds
 
-    import dataclasses as _dc
+    def build(geom, b, v, hh=None, ww=None, multimodal=False):
+        """AOT-compile one sweep config; runs on a worker thread.
 
-    def build(geom, b, v, hh=None, ww=None):
-        # Memory-efficiency knobs resolved per shape (round-4 VERDICT item
-        # 1a): small view counts run fully dense; larger ones get exactly
-        # the chunking HBM needs (models.resolve_memory_policy, calibrated
-        # by scripts/perf/manyview_policy_probe.py).
-        pol = resolve_memory_policy(cfg, b, v, hh or h, ww or w)
+        Memory-efficiency knobs resolved per shape (round-4 VERDICT item
+        1a): small view counts run fully dense; larger ones get exactly
+        the chunking HBM needs (models.resolve_memory_policy, calibrated
+        by scripts/perf/manyview_policy_probe.py).
+        """
+        hh, ww = hh or h, ww or w
+        pol = resolve_memory_policy(cfg, b, v, hh, ww)
         run_model = (model if pol.cfg == cfg else MapAnything(cfg=pol.cfg))
         # Forward and postprocess stay SEPARATELY jitted — fusing them into
         # one program makes XLA's optimization passes superlinear (~490s
         # compile vs ~50s split, see utils/inference.py). Both dispatches
         # are async, so the sustained (pipelined) measurement overlaps them.
-        fwd = jax.jit(
+        vw_sds = views_sds(b, v, hh, ww, multimodal)
+        fwd_jit = jax.jit(
             lambda p, vw: run_model.apply(
                 p, vw, geom, memory_efficient=pol.memory_efficient)
         )
+        preds_sds = jax.eval_shape(fwd_jit, params, vw_sds)
+        fwd = fwd_jit.lower(params, vw_sds).compile()
         if pol.memory_efficient:
             # chunked postprocess + donated preds: fp32 intermediates exist
             # only at chunk width and XLA reuses the forward's output
             # buffers, which is what lets 100+ views fit 16 GB
-            mem_post = jax.jit(
+            post_c = jax.jit(
                 lambda preds, imgs: postprocess_outputs(
                     preds, imgs, apply_mask=True, mask_edges=True,
                     apply_confidence_mask=True,
                     view_chunk=pol.post_view_chunk,
                 ),
                 donate_argnums=(0,),
-            )
-
-            def infer_fn(p, vw):
-                return mem_post(fwd(p, vw), vw["img"])
-
-            return infer_fn
+            ).lower(preds_sds, vw_sds["img"]).compile()
+        else:
+            post_c = jax.jit(
+                lambda preds, imgs: postprocess_outputs(
+                    preds, imgs, apply_mask=True, mask_edges=True,
+                    apply_confidence_mask=True,
+                )
+            ).lower(preds_sds, vw_sds["img"]).compile()
 
         def infer_fn(p, vw):
-            return post(fwd(p, vw), vw["img"])
+            return post_c(fwd(p, vw), vw["img"])
 
         return infer_fn
 
@@ -216,9 +254,88 @@ def main():
 
     extras = {}
 
-    # ---- primary: batched 2-view throughput (BASELINE config 2) ----------
+    # ---- AOT compile pool: all sweep configs concurrently ----------------
+    # Submitted longest-first so the critical path starts immediately; the
+    # helper pool compiles them in parallel while measurements proceed in
+    # protocol order as each executable lands.
     b, v, h, w = 4, 2, 518, 518
-    infer2 = build(images_only, b, v)
+    def build_logged(tag, *a, **kw):
+        t0 = time.time()
+        r = build(*a, **kw)
+        print(f"# compile[{tag}] ready after {time.time() - t0:.0f}s "
+              f"(elapsed {time.time() - _T0:.0f}s)", flush=True)
+        return r
+
+    # Submission order matters when the remote helper pool has few slots:
+    # the HEADLINE config goes first so its measurement starts as early as
+    # possible, then the big many-view compiles (the critical path), then
+    # the cheap configs that can slot into any gap.
+    pool = ThreadPoolExecutor(max_workers=7)
+    futs = {
+        "2v": pool.submit(build_logged, "2v", images_only, b, v),
+        "100v": pool.submit(build_logged, "100v", images_only, 1, 100),
+        "32v": pool.submit(build_logged, "32v", images_only, 1, 32),
+        "mm4v": pool.submit(build_logged, "mm4v", multimodal_cfg, 1, 4,
+                            None, None, True),
+        "1v": pool.submit(build_logged, "1v", images_only, 1, 1),
+    }
+
+    # Train-step compiles ride the same pool. Only the COMPILE runs here
+    # (against ShapeDtypeStructs): the real TrainState (params + ~5 GB of
+    # AdamW moments) is built at measurement time so it never overlaps the
+    # 32/100-view sweeps' HBM.
+    from mapanything_tpu.data.synthetic import make_synthetic_batch
+    from mapanything_tpu.models import aug_training_config
+    from mapanything_tpu.train import (
+        OptimConfig,
+        OverallLossConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    tgeom = aug_training_config()
+
+    def lower_train(tb, tv, th, tw, remat):
+        tcfg = MapAnythingConfig(
+            dtype=jnp.bfloat16,
+            encoder_gradient_checkpointing=remat,
+            trunk_gradient_checkpointing=remat,
+        )
+        tmodel = MapAnything(cfg=tcfg)
+        batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
+        batch_sds = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+            batch)
+        tparams_sds = jax.eval_shape(
+            lambda: jit_init(tmodel, jax.random.PRNGKey(0), batch["views"],
+                             tgeom, rng=jax.random.PRNGKey(1)))
+        state_sds = jax.eval_shape(
+            lambda p: create_train_state(tmodel, p, OptimConfig()),
+            tparams_sds)
+        step = jax.jit(
+            make_train_step(tmodel, tgeom, OverallLossConfig()),
+            donate_argnums=(0,),
+        ).lower(state_sds, batch_sds, jax.random.PRNGKey(2)).compile()
+        return step, tmodel, tparams_sds, batch
+
+    # (tb, tv, th, tw, key, want_mfu, need_s, remat): the small shape is the
+    # cross-round comparison point (remat ON, matching rounds 3-4); the 518
+    # shape is where train MFU is reported — its activations fit 16 GB
+    # WITHOUT gradient checkpointing, so the tuned remat policy is OFF
+    # (the same trace-time auto-policy argument as resolve_memory_policy);
+    # MFU counts model FLOPs only, so this is also the honest number (no
+    # hidden recompute).
+    train_shapes = [
+        (2, 4, 196, 252, "train_step_ms_2x4v_196x252", False, 240, True),
+        (1, 4, 518, 518, "train_step_ms_1x4v_518", True, 420, False),
+    ]
+    train_futs = {
+        key: pool.submit(lower_train, tb, tv, th, tw, remat)
+        for tb, tv, th, tw, key, _mfu, _need, remat in train_shapes
+    }
+
+    # ---- primary: batched 2-view throughput (BASELINE config 2) ----------
+    infer2 = futs["2v"].result()
     views2 = make_views(b, v, h, w)
     t0 = time.time()
     p50_2 = timed(infer2, params, views2, iters=10)
@@ -255,21 +372,20 @@ def main():
 
     # ---- extras: BASELINE configs 1, 3, 4, 5 ------------------------------
     sweeps = [
-        # (key, geom, b, v, iters)
-        ("p50_e2e_latency_1view_ms", images_only, 1, 1, 5),
-        ("p50_e2e_latency_multimodal_4view_ms", multimodal_cfg, 1, 4, 5),
-        ("p50_e2e_latency_32view_ms", images_only, 1, 32, 3),
-        ("p50_e2e_latency_100view_ms", images_only, 1, 100, 2),
+        # (key, fut, b, v, iters, multimodal)
+        ("p50_e2e_latency_1view_ms", "1v", 1, 1, 5, False),
+        ("p50_e2e_latency_multimodal_4view_ms", "mm4v", 1, 4, 5, True),
+        ("p50_e2e_latency_32view_ms", "32v", 1, 32, 3, False),
+        ("p50_e2e_latency_100view_ms", "100v", 1, 100, 2, False),
     ]
-    for key, geom, bb, vv, iters in sweeps:
+    for key, fut, bb, vv, iters, mm in sweeps:
         if _left() < 120:
             print(f"# deadline: skipping {key}", flush=True)
             continue
         try:
             t_build = time.time()
-            fn = build(geom, bb, vv)
-            vws = make_views(bb, vv, h, w,
-                             multimodal=geom is multimodal_cfg)
+            fn = futs[fut].result()
+            vws = make_views(bb, vv, h, w, multimodal=mm)
             p50 = timed(fn, params, vws, iters=iters)
             extras[key] = round(p50 * 1000, 1)
             extras[key.replace("p50_e2e_latency_", "views_per_sec_").replace(
@@ -277,9 +393,80 @@ def main():
             print(f"# {key}: {p50 * 1000:.0f} ms "
                   f"(phase {time.time() - t_build:.0f}s, "
                   f"elapsed {time.time() - _T0:.0f}s)", flush=True)
+            del vws
+            if vv >= 32:
+                # per-config A100 bracket: attention is quadratic in views,
+                # so the 2-view-derived headline baseline (2.576 TFLOP/view)
+                # understates the reference's cost here. Same analytic FLOPs
+                # + A100 bf16 peak (312 TF/s) at the same [20%, 55%] MFU
+                # bracket as BASELINE.md's measured reference row.
+                per_view_tf = analytic_flops(518, vv)["total"] / vv
+                lo = 312e12 * 0.20 / per_view_tf
+                hi = 312e12 * 0.55 / per_view_tf
+                extras[f"vs_a100_{vv}view"] = round((bb * vv / p50) / lo, 2)
+                extras[f"vs_a100_{vv}view_high_bound"] = round(
+                    (bb * vv / p50) / hi, 2)
         except Exception as e:  # keep the primary metric printable
             print(f"# {key} failed: {type(e).__name__}: {e}", flush=True)
+    pool.shutdown(wait=False)
 
+    # ---- extra: training-step throughput (flash bwd + remat policy) ------
+    if _left() > 240:
+        try:
+            import optax  # noqa: F401
+
+            for tb, tv, th, tw, key, want_mfu, need_s, remat in train_shapes:
+                if _left() < need_s:
+                    print(f"# deadline: skipping {key}", flush=True)
+                    continue
+                step, tmodel, tparams_sds, batch = train_futs[key].result()
+                # numpy-filled params (instant at any size, same trick as
+                # __graft_entry__): a device init program would cost its own
+                # compile, and parameter VALUES don't change step timing.
+                # Loss stays finite at 0.02 noise.
+                _rng = np.random.default_rng(0)
+                tparams = jax.tree.map(
+                    lambda s: jnp.asarray(
+                        _rng.standard_normal(s.shape, dtype=np.float32)
+                        * 0.02, s.dtype),
+                    tparams_sds)
+                state = create_train_state(tmodel, tparams, OptimConfig())
+                del tparams
+                state, m = step(state, batch, jax.random.PRNGKey(2))
+                _ = float(m["loss"])  # warm
+                # Sustained: the real training loop dispatches steps
+                # back-to-back (donated state) and fetches each iteration's
+                # metrics one step LATE (train/loop.py pipelined tripwire),
+                # so steady-state throughput overlaps the tunnel RTT
+                # exactly like the loop does.
+                n_steps = 6 if th < 300 else 4
+                t0 = time.time()
+                for i in range(n_steps):
+                    state, m = step(state, batch, jax.random.PRNGKey(3 + i))
+                _ = float(m["loss"])
+                st = (time.time() - t0) / n_steps
+                extras[key] = round(st * 1000, 1)
+                msg = (f"# train step {tb}x{tv}v@{th}x{tw} remat={remat}: "
+                       f"{st * 1000:.0f} ms sustained "
+                       f"({tb * tv / st:.1f} imgs/s)")
+                if want_mfu:
+                    mfu = (tb * train_step_flops(th, tv, tw) / st
+                           / V5E_BF16_PEAK_FLOPS)
+                    extras["train_mfu_pct"] = round(100 * mfu, 1)
+                    msg += f", MFU {100 * mfu:.1f}%"
+                else:
+                    extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
+                print(msg, flush=True)
+                # Free the optimizer state between shapes and before the
+                # view-ceiling ladder: the AdamW moments alone hold ~5 GB
+                # (2x fp32 params) and poisoned every ceiling probe down to
+                # 128 views when left alive.
+                del state, m, step, batch, tmodel
+        except Exception as e:
+            print(f"# train-step extra failed: {type(e).__name__}: {e}",
+                  flush=True)
+    else:
+        print("# deadline: skipping train-step extra", flush=True)
     # ---- extra: achieved flash TF/s at the global-attention shapes -------
     # (round-3 VERDICT item 8: the "kernel sustains its plateau across the
     # view sweep" claim, measured per round instead of asserted.) Times the
@@ -328,84 +515,6 @@ def main():
                 # must not poison the train-step / view-ceiling HBM budget
                 del qkv, out
 
-    # ---- extra: training-step throughput (flash bwd + remat) -------------
-    if _left() > 240:
-        try:
-            import optax  # noqa: F401
-
-            from mapanything_tpu.data.synthetic import make_synthetic_batch
-            from mapanything_tpu.models import jit_init, aug_training_config
-            from mapanything_tpu.train import (
-                OptimConfig,
-                OverallLossConfig,
-                create_train_state,
-                make_train_step,
-            )
-
-            tcfg = MapAnythingConfig(
-                dtype=jnp.bfloat16,
-                encoder_gradient_checkpointing=True,
-                trunk_gradient_checkpointing=True,
-            )
-            tmodel = MapAnything(cfg=tcfg)
-            geom = aug_training_config()
-            # Two shapes: the small cross-round comparison point, and the
-            # reference's 518 training resolution (round-3 VERDICT item 4:
-            # report train MFU where training actually runs). MFU here is
-            # model-FLOPs utilization (bwd = 2x fwd, remat recompute not
-            # counted — see utils/flops.train_step_flops).
-            train_shapes = [
-                (2, 4, 196, 252, "train_step_ms_2x4v_196x252", False, 240),
-                (1, 4, 518, 518, "train_step_ms_1x4v_518", True, 420),
-            ]
-            for tb, tv, th, tw, key, want_mfu, need_s in train_shapes:
-                if _left() < need_s:
-                    print(f"# deadline: skipping {key}", flush=True)
-                    continue
-                batch = make_synthetic_batch(tb, tv, th, tw, seed=0)
-                tparams = jit_init(tmodel, jax.random.PRNGKey(0),
-                                   batch["views"], geom,
-                                   rng=jax.random.PRNGKey(1))
-                state = create_train_state(tmodel, tparams, OptimConfig())
-                step = jax.jit(
-                    make_train_step(tmodel, geom, OverallLossConfig()),
-                    donate_argnums=(0,))
-                state, m = step(state, batch, jax.random.PRNGKey(2))
-                _ = float(m["loss"])  # compile+warm
-                # Sustained: the real training loop dispatches steps
-                # back-to-back (donated state) and fetches each iteration's
-                # metrics one step LATE (train/loop.py pipelined tripwire),
-                # so steady-state throughput overlaps the tunnel RTT
-                # exactly like the loop does.
-                n_steps = 6 if th < 300 else 4
-                t0 = time.time()
-                for i in range(n_steps):
-                    state, m = step(state, batch, jax.random.PRNGKey(3 + i))
-                _ = float(m["loss"])
-                st = (time.time() - t0) / n_steps
-                extras[key] = round(st * 1000, 1)
-                msg = (f"# train step {tb}x{tv}v@{th}x{tw}: "
-                       f"{st * 1000:.0f} ms sustained "
-                       f"({tb * tv / st:.1f} imgs/s)")
-                if want_mfu:
-                    mfu = (tb * train_step_flops(th, tv, tw) / st
-                           / V5E_BF16_PEAK_FLOPS)
-                    extras["train_mfu_pct"] = round(100 * mfu, 1)
-                    msg += f", MFU {100 * mfu:.1f}%"
-                else:
-                    extras["train_imgs_per_sec"] = round(tb * tv / st, 2)
-                print(msg, flush=True)
-                # Free the optimizer state between shapes and before the
-                # view-ceiling ladder: the AdamW moments alone hold ~5 GB
-                # (2x fp32 params) and poisoned every ceiling probe down to
-                # 128 views when left alive.
-                del state, m, step, tparams, batch
-            del tmodel
-        except Exception as e:
-            print(f"# train-step extra failed: {type(e).__name__}: {e}",
-                  flush=True)
-    else:
-        print("# deadline: skipping train-step extra", flush=True)
     import gc
 
     gc.collect()

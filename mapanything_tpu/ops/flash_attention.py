@@ -230,7 +230,7 @@ def pick_block(n: int, target: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_q", "block_k", "interpret", "single_pass_max",
-                     "n_valid", "onepass_t"),
+                     "n_valid", "onepass_t", "tile_budget"),
 )
 def flash_attention(
     q: jnp.ndarray,
@@ -242,6 +242,7 @@ def flash_attention(
     single_pass_max: int = 2816,
     n_valid: int | None = None,
     onepass_t: bool = True,
+    tile_budget: int | None = None,
 ) -> jnp.ndarray:
     """softmax(q k^T / sqrt(d)) v without materializing the score matrix.
 
@@ -288,8 +289,10 @@ def flash_attention(
         # The kernel's VMEM footprint scales with block_q x block_k. bf16
         # inputs keep the whole S/P chain in bf16 (no fp32 tile), so a
         # 2^21-element tile fits scoped VMEM; fp32 inputs carry an fp32
-        # score tile and keep the smaller cap.
-        tile_budget = 2**21 if q.dtype == jnp.bfloat16 else 2**20
+        # score tile and keep the smaller cap. Callers (tuning sweeps) may
+        # override via tile_budget to probe larger tiles.
+        if tile_budget is None:
+            tile_budget = 2**21 if q.dtype == jnp.bfloat16 else 2**20
         block_q = pick_block(n, min(block_q, tile_budget // block_k))
     n_pad = _round_up(n, block_q)
     kv_pad = _round_up(kv_len, block_k)

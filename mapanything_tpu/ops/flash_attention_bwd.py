@@ -23,12 +23,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .flash_attention import _LANES, _round_up, flash_attention, pick_block
+from .flash_attention import _round_up, flash_attention, pick_block
 
 
-def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                         m_ref, acc_ref,
-                         *, scale, kv_len, block_k, d):
+def _fwd_with_lse_kernel_T(k_ref, qt_ref, vt_ref, o_ref, lse_ref,
+                           m_ref, acc_ref, *, scale, d):
+    """Transposed-layout online fwd-with-lse (see _flash_kernel_T in
+    flash_attention.py for the MXU rate argument: PV as V^T P^T contracts
+    full-depth over block_k with a full-width block_q-lane output). No
+    ragged-kv bias pass: padded k rows give score 0, which only clamps the
+    running max to >= 0 — softmax shift-invariance keeps both o and
+    lse = m2 + log2(l) exact because the zeroed ones ROW of v^T excludes
+    pads from l."""
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -37,160 +43,158 @@ def _fwd_with_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # Same VPU-economy tricks as the serving kernel (flash_attention.py):
-    # base-2 softmax domain, softmax scale folded into q (bq*d elements
-    # instead of bq*bk), ragged-kv mask as one additive (1, bk) bias row,
-    # bf16 score/probability storage for bf16 inputs (the fp32 m/l carry
-    # keeps the recurrence exact).
-    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
-    k = k_ref[0]
-    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(s_dtype)
-    if kv_len % block_k != 0:  # static: no mask at all for aligned kv
-        # Unconditional like the serving kernel: branch-gating on the final
-        # k-block with lax.cond measured slower (see flash_attention.py).
-        col = j * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (1, s.shape[1]), 1)
-        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
+    qt = qt_ref[0] * jnp.asarray(scale * 1.4426950408889634, qt_ref.dtype)
+    s_dtype = jnp.bfloat16 if qt_ref.dtype == jnp.bfloat16 else jnp.float32
+    st = jax.lax.dot_general(
+        k_ref[0], qt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(s_dtype)  # (bk, bq)
 
-    m_prev = m_ref[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
+    m_prev = m_ref[:1]  # (1, bq)
+    m_cur = jnp.max(st, axis=0, keepdims=True).astype(jnp.float32)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp2(m_prev - m_new)
-    p = jnp.exp2(s.astype(jnp.float32) - m_new).astype(s_dtype)
-    # V carries a ones column: column d of the fp32 accumulator is the
-    # running softmax sum (its alpha-rescale recurrence is the same one the
-    # pv columns need), so the l scratch + VPU reduction disappear — see
-    # flash_attention._flash_kernel.
+    pt = jnp.exp2(st - m_new.astype(s_dtype))
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        vt_ref[0], pt.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
 
     @pl.when(j == nk - 1)
     def _fin():
-        l = acc_ref[:, d:d + 1]
+        l = acc_ref[d:d + 1, :]  # (1, bq) softmax row sum
         safe_l = jnp.where(l == 0, 1.0, l)
-        o_ref[0] = (acc_ref[:, :d] / safe_l).astype(o_ref.dtype)
-        # lse kept in the base-2 domain: lse2 = m2 + log2(l)
-        lse_row = m_ref[:, 0] + jnp.log2(safe_l[:, 0])  # (bq,)
-        # lse is stored (bh, nq, 8, bq) to satisfy TPU block tiling
-        lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
+        o_ref[0] = (acc_ref[:d, :] / safe_l).astype(o_ref.dtype)
+        lse_row = m_ref[:1] + jnp.log2(safe_l)  # (1, bq), base-2 domain
+        lse_ref[0, 0] = jnp.broadcast_to(lse_row, lse_ref.shape[2:])
 
 
-def _fwd_with_lse_kernel_1pass(q_ref, k_ref, v_ref, o_ref, lse_ref,
-                               *, scale, kv_len, d):
-    """Single k-block specialization (every frame-attention call and the
-    global attention at training view counts): no online-softmax carry.
-    V arrives with a ones column appended so the PV dot also yields the
-    softmax row sum on the MXU (see flash_attention._flash_kernel_1pass)."""
-    q = q_ref[0] * jnp.asarray(scale * 1.4426950408889634, q_ref.dtype)
-    k = k_ref[0]
-    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(s_dtype)
-    if kv_len != s.shape[1]:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-        s = s + jnp.where(col < kv_len, 0.0, -jnp.inf).astype(s.dtype)
-    m = jnp.max(s, axis=-1, keepdims=True).astype(jnp.float32)
-    p = jnp.exp2(s.astype(jnp.float32) - m).astype(s_dtype)
-    acc = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+def _fwd_with_lse_kernel_1pass_T(k_ref, qt_ref, vt_ref, o_ref, lse_ref,
+                                 *, scale, d):
+    """Transposed single-k-block fwd-with-lse: one-shot softmax, no carry.
+    Ragged kv handled bias-free (see _fwd_with_lse_kernel_T)."""
+    qt = qt_ref[0] * jnp.asarray(scale * 1.4426950408889634, qt_ref.dtype)
+    s_dtype = jnp.bfloat16 if qt_ref.dtype == jnp.bfloat16 else jnp.float32
+    st = jax.lax.dot_general(
+        k_ref[0], qt, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (bq, d+1): last column is the softmax row sum
-    l = acc[:, d:d + 1]
+    ).astype(s_dtype)  # (bk, bq)
+    m = jnp.max(st, axis=0, keepdims=True).astype(jnp.float32)  # (1, bq)
+    pt = jnp.exp2(st - m.astype(s_dtype))
+    acc = jax.lax.dot_general(
+        vt_ref[0], pt.astype(vt_ref.dtype), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (dv, bq); row d is the softmax row sum
+    l = acc[d:d + 1, :]
     safe_l = jnp.where(l == 0, 1.0, l)
-    o_ref[0] = (acc[:, :d] / safe_l).astype(o_ref.dtype)
-    lse_row = m[:, 0] + jnp.log2(safe_l[:, 0])
-    lse_ref[0, 0] = jnp.broadcast_to(lse_row[None, :], lse_ref.shape[2:])
+    o_ref[0] = (acc[:d, :] / safe_l).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.broadcast_to(m + jnp.log2(safe_l),
+                                     lse_ref.shape[2:])
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-                dk_ref, dv_ref, dk_acc, dv_acc,
+def _dkv_kernel(q_ref, qt_ref, k_ref, v_ref, do_ref, dot_ref, lse_ref,
+                delta_ref, dkt_ref, dvt_ref, dkt_acc, dvt_acc,
                 *, scale, q_len, kv_len, block_q, block_k):
+    """dK/dV with TRANSPOSED outputs.
+
+    With H=16/D=64 heads the natural dv = p^T do and dk = ds^T q matmuls
+    fill only 64 of the MXU's 128 output lanes (half rate). Emitting the
+    transposes instead — dv^T = do^T p and dk^T = q^T ds, with do^T/q^T
+    streamed pre-transposed from HBM — contracts over block_q (full
+    128-deep) with a block_k-lane output (full width), doubling both
+    matmuls' rate. s and dp keep their structural d=64 contraction (no
+    layout fixes that). The caller transposes dk^T/dv^T back (one bulk
+    pass, amortized over the q-block-deep grid).
+    """
     i = pl.program_id(2)  # q-block index (inner)
     nq = pl.num_programs(2)
 
     @pl.when(i == 0)
     def _init():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
+        dkt_acc[:] = jnp.zeros_like(dkt_acc)
+        dvt_acc[:] = jnp.zeros_like(dvt_acc)
 
     q = q_ref[0]          # (bq, d)
     k = k_ref[0]          # (bk, d)
     v = v_ref[0]
-    do = do_ref[0]
+    do = do_ref[0]        # (bq, d)
     lse = lse_ref[0, 0, 0]      # (bq,)
     delta = delta_ref[0, 0, 0]  # (bq,)
     s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
 
     # No validity mask needed (the fwd kernels had one): padded q rows are
     # ZERO rows, so do=0 and delta=0 kill their dv/dk contributions
-    # (dv += p^T·0, ds = p·(0-0)); padded k cols give finite p but land in
-    # dk/dv rows >= kv_len, which the caller slices off. Dropping the
-    # (bq, bk) iota/compare/select saves two full VPU passes per block.
+    # (dv^T += do^T·0-cols, ds = p·(0-0)); padded k cols give finite p but
+    # land in dk/dv rows >= kv_len, which the caller slices off. Dropping
+    # the (bq, bk) iota/compare/select saves two full VPU passes per block.
     qs = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
     s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
     # lse is base-2 (m2 + log2 l): p = exp2(s2 - lse2) == softmax weight
     p = jnp.exp2(s - lse[:, None]).astype(s_dtype)  # (bq, bk)
 
-    dv_acc[:] = dv_acc[:] + jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    # dv^T (d, bk) = do^T (d, bq) x p (bq, bk): full-depth, full-lane
+    dvt_acc[:] = dvt_acc[:] + jax.lax.dot_general(
+        dot_ref[0], p, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     ds = (p.astype(jnp.float32) * (dp - delta[:, None])
           * scale).astype(s_dtype)
-    dk_acc[:] = dk_acc[:] + jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),
+    # dk^T (d, bk) = q^T (d, bq) x ds (bq, bk): full-depth, full-lane
+    dkt_acc[:] = dkt_acc[:] + jax.lax.dot_general(
+        qt_ref[0], ds, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(i == nq - 1)
     def _fin():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+        dkt_ref[0] = dkt_acc[:].astype(dkt_ref.dtype)
+        dvt_ref[0] = dvt_acc[:].astype(dvt_ref.dtype)
 
 
-def _dq_kernel(q_ref, k_ref, do_ref, v_ref, lse_ref, delta_ref,
-               dq_ref, dq_acc, *, scale, q_len, kv_len, block_q, block_k):
+def _dq_kernel(k_ref, qt_ref, v_ref, dot_ref, kt_ref, lse_ref, delta_ref,
+               dqt_ref, dqt_acc, *, scale, q_len, kv_len, block_q, block_k):
+    """dQ in the fully TRANSPOSED frame (see _flash_kernel_T for the MXU
+    argument): s^T = K Qs^T and dp^T = V dO^T keep the structural d=64
+    contraction, but dq^T = K^T ds^T then contracts over block_k (full
+    128-deep) with a block_q-lane output — full MXU rate, vs the row-major
+    dq = ds k whose d=64-lane output ran at half rate. lse/delta become
+    (1, bq) lane vectors broadcast along sublanes."""
     j = pl.program_id(2)  # kv-block index (inner)
     nk = pl.num_programs(2)
 
     @pl.when(j == 0)
     def _init():
-        dq_acc[:] = jnp.zeros_like(dq_acc)
+        dqt_acc[:] = jnp.zeros_like(dqt_acc)
 
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    do = do_ref[0]
-    lse = lse_ref[0, 0, 0]
-    delta = delta_ref[0, 0, 0]
-    s_dtype = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    k = k_ref[0]            # (bk, d)
+    v = v_ref[0]            # (bk, d)
+    dot = dot_ref[0]        # (d, bq)
+    lse = lse_ref[0, 0, :1]      # (1, bq)
+    delta = delta_ref[0, 0, :1]  # (1, bq)
+    s_dtype = jnp.bfloat16 if k_ref.dtype == jnp.bfloat16 else jnp.float32
 
-    # No validity mask (see _dkv_kernel): padded q rows only produce garbage
-    # dq rows that the caller slices off; padded k/v cols are zero, so their
-    # nonzero p entries contribute ds[col]*k[col] = 0 to dq.
-    qs = q * jnp.asarray(scale * 1.4426950408889634, q.dtype)
-    s = jax.lax.dot_general(qs, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-    p = jnp.exp2(s - lse[:, None]).astype(s_dtype)
+    # No validity mask (see _dkv_kernel): padded q cols only produce garbage
+    # dq^T cols that the caller slices off; padded k/v rows are zero, so
+    # their nonzero p^T entries contribute k^T[., pad] ds^T[pad, .] = 0.
+    qst = qt_ref[0] * jnp.asarray(scale * 1.4426950408889634, qt_ref.dtype)
+    st = jax.lax.dot_general(k, qst, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (bk, bq)
+    pt = jnp.exp2(st - lse).astype(s_dtype)
 
-    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    ds = (p.astype(jnp.float32) * (dp - delta[:, None])
-          * scale).astype(s_dtype)
-    dq_acc[:] = dq_acc[:] + jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())),
+    dpt = jax.lax.dot_general(v, dot, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (bk, bq)
+    dst = (pt.astype(jnp.float32) * (dpt - delta)
+           * scale).astype(s_dtype)
+    # dq^T (d, bq) = k^T (d, bk) x ds^T (bk, bq): full-depth, full-lane
+    dqt_acc[:] = dqt_acc[:] + jax.lax.dot_general(
+        kt_ref[0], dst, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nk - 1)
     def _fin():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dqt_ref[0] = dqt_acc[:].astype(dqt_ref.dtype)
 
 
 def _prep(x, target_len, b, h, d):
@@ -207,12 +211,18 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816,
     scale = d**-0.5
 
     def ones_col(width):
-        # aligned-token mode: exclude the caller's pre-padded tail rows from
-        # the MXU row sum (trace-time constant; see flash_attention.to_bh)
-        if n_valid is not None and n_valid < width:
+        # The MXU row-sum ones column, zeroed at every non-real row: rows
+        # >= kv_len are this wrapper's own padding, rows >= n_valid are the
+        # caller's pre-padded tail (aligned-token mode). The transposed
+        # kernels have NO -inf bias pass, so a pad row with a live ones
+        # entry would leak exp2(0 - m) into the softmax sum — the zeroed
+        # column (a trace-time constant) is what keeps the bias-free path
+        # exact (see flash_attention.to_bh).
+        valid = kv_len if n_valid is None else min(kv_len, n_valid)
+        if valid < width:
             import numpy as _np
 
-            col = (_np.arange(width) < n_valid).astype(_np.float32)
+            col = (_np.arange(width) < valid).astype(_np.float32)
             return jnp.broadcast_to(
                 jnp.asarray(col, v.dtype)[None, :, None], (b * h, width, 1))
         return jnp.ones((b * h, width, 1), v.dtype)
@@ -240,62 +250,66 @@ def _fwd_with_lse(q, k, v, block_q, block_k, single_pass_max=2816,
     kv_pad = _round_up(kv_len, block_k)
     qb, kb, vb = (_prep(q, n_pad, b, h, d), _prep(k, kv_pad, b, h, d),
                   _prep(v, kv_pad, b, h, d))
+    # TRANSPOSED-layout primal (see _fwd_with_lse_kernel_T): q^T streamed
+    # (d, n_pad); v^T carries the ones ROW at index d (the MXU row-sum),
+    # rows padded to a sublane multiple. Residuals stay row-major — the
+    # dkv/dq kernels build their own transposed operands in _run_*.
+    qt = jnp.swapaxes(qb, 1, 2)  # (bh, d, n_pad)
+    dv_rows = _round_up(d + 1, 16)
+    vt = jnp.concatenate([vb, ones_col(kv_pad)], axis=-1)
+    vt = jnp.swapaxes(vt, 1, 2)  # (bh, d+1, kv_pad)
+    vt = jnp.pad(vt, ((0, 0), (0, dv_rows - d - 1), (0, 0)))
     if kv_pad == block_k:
-        # ones column for the MXU row-sum; saved residual vb stays d-wide
-        # (the bwd kernels consume plain V)
-        vb_ones = jnp.concatenate([vb, ones_col(kv_pad)], axis=-1)
         grid = (b * h, n_pad // block_q)
-        out, lse = pl.pallas_call(
-            functools.partial(
-                _fwd_with_lse_kernel_1pass, scale=scale, kv_len=kv_len, d=d
-            ),
+        out_t, lse = pl.pallas_call(
+            functools.partial(_fwd_with_lse_kernel_1pass_T, scale=scale, d=d),
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
                 pl.BlockSpec((1, block_k, d), lambda bh, i: (bh, 0, 0)),
-                pl.BlockSpec((1, block_k, d + 1), lambda bh, i: (bh, 0, 0)),
+                pl.BlockSpec((1, d, block_q), lambda bh, i: (bh, 0, i)),
+                pl.BlockSpec((1, dv_rows, block_k), lambda bh, i: (bh, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, block_q, d), lambda bh, i: (bh, i, 0)),
+                pl.BlockSpec((1, d, block_q), lambda bh, i: (bh, 0, i)),
                 pl.BlockSpec((1, 1, 8, block_q), lambda bh, i: (bh, i, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+                jax.ShapeDtypeStruct((b * h, d, n_pad), q.dtype),
                 jax.ShapeDtypeStruct(
                     (b * h, n_pad // block_q, 8, block_q), jnp.float32
                 ),
             ],
-        )(qb, kb, vb_ones)
+        )(kb, qt, vt)
+        out = jnp.swapaxes(out_t, 1, 2)  # row-major residual + user out
         out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
         return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
                                                  kv_pad, block_q, block_k))
-    vb_ones = jnp.concatenate([vb, ones_col(kv_pad)], axis=-1)
     grid = (b * h, n_pad // block_q, kv_pad // block_k)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_with_lse_kernel, scale=scale, kv_len=kv_len,
-                          block_k=block_k, d=d),
+    out_t, lse = pl.pallas_call(
+        functools.partial(_fwd_with_lse_kernel_T, scale=scale, d=d),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d + 1), lambda bh, i, j: (bh, j, 0)),
+            pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),
+            pl.BlockSpec((1, dv_rows, block_k), lambda bh, i, j: (bh, 0, j)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
+            pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, d, n_pad), q.dtype),
             jax.ShapeDtypeStruct(
                 (b * h, n_pad // block_q, 8, block_q), jnp.float32
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, _LANES), jnp.float32),  # running max
-            # output accumulator; column d carries the running softmax sum
-            pltpu.VMEM((block_q, d + 1), jnp.float32),
+            pltpu.VMEM((8, block_q), jnp.float32),  # running max (row 0)
+            # transposed accumulator; row d carries the running softmax sum
+            pltpu.VMEM((dv_rows, block_q), jnp.float32),
         ],
-    )(qb, kb, vb_ones)
+    )(kb, qt, vt)
+    out = jnp.swapaxes(out_t, 1, 2)
     out_user = jnp.swapaxes(out[:, :n].reshape(b, h, n, d), 1, 2)
     return out_user, (qb, kb, vb, out, lse, (b, n, h, d, kv_len, n_pad,
                                              kv_pad, block_q, block_k))
@@ -308,35 +322,43 @@ def _run_dkv(qb, kb, vb, gb, lse, delta, *, scale, n, kv_len, d,
     bh, n_pad = qb.shape[0], qb.shape[1]
     kv_pad = kb.shape[1]
     nq, nk = n_pad // block_q, kv_pad // block_k
-    return pl.pallas_call(
+    # q^T/do^T streamed alongside q/do: the transposed-output matmuls (see
+    # _dkv_kernel) need (d, bq) operands; one bulk host-side transpose each
+    # beats an in-kernel (bq, d) tile transpose every grid step.
+    qt = jnp.swapaxes(qb, 1, 2)  # (bh, d, n_pad)
+    gt = jnp.swapaxes(gb, 1, 2)
+    dkt, dvt = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, q_len=n, kv_len=kv_len,
                           block_q=block_q, block_k=block_k),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),  # q
+            pl.BlockSpec((1, d, block_q), lambda bh, j, i: (bh, 0, i)),  # qt
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),  # k
             pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),  # v
             pl.BlockSpec((1, block_q, d), lambda bh, j, i: (bh, i, 0)),  # do
+            pl.BlockSpec((1, d, block_q), lambda bh, j, i: (bh, 0, i)),  # dot
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, j, i: (bh, i, 0, 0)),  # lse
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, j, i: (bh, i, 0, 0)),  # delta
         ],
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda bh, j, i: (bh, j, 0)),
+            pl.BlockSpec((1, d, block_k), lambda bh, j, i: (bh, 0, j)),
+            pl.BlockSpec((1, d, block_k), lambda bh, j, i: (bh, 0, j)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, kv_pad, d), out_dtype),
-            jax.ShapeDtypeStruct((bh, kv_pad, d), out_dtype),
+            jax.ShapeDtypeStruct((bh, d, kv_pad), out_dtype),
+            jax.ShapeDtypeStruct((bh, d, kv_pad), out_dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
+            pltpu.VMEM((d, block_k), jnp.float32),
         ],
         # only pass interpret when set: tests monkeypatch pl.pallas_call
         # with a partial(interpret=True) that an explicit False would
         # override
         **({"interpret": True} if interpret else {}),
-    )(qb, kb, vb, gb, lse, delta)
+    )(qb, qt, kb, vb, gb, gt, lse, delta)
+    return jnp.swapaxes(dkt, 1, 2), jnp.swapaxes(dvt, 1, 2)
 
 
 def _run_dq(qb, kb, vb, gb, lse, delta, *, scale, n, kv_len, d,
@@ -345,23 +367,30 @@ def _run_dq(qb, kb, vb, gb, lse, delta, *, scale, n, kv_len, d,
     bh, n_pad = qb.shape[0], qb.shape[1]
     kv_pad = kb.shape[1]
     nq, nk = n_pad // block_q, kv_pad // block_k
-    return pl.pallas_call(
+    # transposed-frame operands (see _dq_kernel): q^T/do^T as (d, n) and
+    # k^T as (d, kv) — bulk host transposes amortized over the grid
+    qt = jnp.swapaxes(qb, 1, 2)
+    gt = jnp.swapaxes(gb, 1, 2)
+    kt = jnp.swapaxes(kb, 1, 2)
+    dqt = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, q_len=n, kv_len=kv_len,
                           block_q=block_q, block_k=block_k),
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),  # q
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),  # k
-            pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),  # do
+            pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),  # qt
             pl.BlockSpec((1, block_k, d), lambda bh, i, j: (bh, j, 0)),  # v
+            pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),  # dot
+            pl.BlockSpec((1, d, block_k), lambda bh, i, j: (bh, 0, j)),  # kt
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
             pl.BlockSpec((1, 1, 8, block_q), lambda bh, i, j: (bh, i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda bh, i, j: (bh, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n_pad, d), out_dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_specs=pl.BlockSpec((1, d, block_q), lambda bh, i, j: (bh, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((bh, d, n_pad), out_dtype),
+        scratch_shapes=[pltpu.VMEM((d, block_q), jnp.float32)],
         **({"interpret": True} if interpret else {}),
-    )(qb, kb, gb, vb, lse, delta)
+    )(kb, qt, vb, gt, kt, lse, delta)
+    return jnp.swapaxes(dqt, 1, 2)
 
 
 def _bwd(res, g):

@@ -186,13 +186,18 @@ def run_shape(n_tok):
     print(f"production default (q512 k2048 eff): {t*1000:7.1f} ms "
           f"{fl/t/1e12:6.1f} TF/s")
 
+    # rescale/softmax-carry VPU work in the transposed kernel scales as
+    # N^2 * dv / block_k (independent of block_q!), so big-bk combos are the
+    # lever; tile_budget raised so the wrapper doesn't silently cap bq.
     for bq, bk in [(256, 2048), (512, 1024), (512, 2048), (512, 4096),
                    (768, 2048), (1024, 1024), (1024, 2048), (2048, 512),
-                   (1024, 4096), (2048, 1024)]:
+                   (1024, 4096), (2048, 1024), (2048, 2048), (2048, 4096),
+                   (4096, 1024), (4096, 2048), (1024, 8192), (2048, 8192)]:
         try:
             f = jax.jit(functools.partial(flash_attention,
                                           block_q=bq, block_k=bk,
-                                          single_pass_max=128))
+                                          single_pass_max=128,
+                                          tile_budget=2**24))
             t = timed(f, qkv)
             out = f(*qkv)
             err = float(jnp.max(jnp.abs(out.astype(jnp.float32)
