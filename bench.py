@@ -75,18 +75,23 @@ def _probe_device(timeout_s: float = 300.0) -> None:
 
     code = ("import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
             "print(float((x @ x).sum()))")
-    try:
-        subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                       check=True, capture_output=True)
-    except subprocess.TimeoutExpired:
-        print("# FATAL: TPU backend init timed out after "
-              f"{timeout_s:.0f}s — the axon tunnel / remote worker is "
-              "down; no metric can be measured", flush=True)
-        sys.exit(2)
-    except subprocess.CalledProcessError as e:
-        print("# FATAL: TPU probe failed: "
-              f"{e.stderr.decode(errors='replace')[-400:]}", flush=True)
-        sys.exit(2)
+    for attempt in (1, 2):
+        try:
+            subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           check=True, capture_output=True)
+            return
+        except subprocess.TimeoutExpired:
+            msg = (f"TPU backend init timed out after {timeout_s:.0f}s — "
+                   "the axon tunnel / remote worker is down")
+        except subprocess.CalledProcessError as e:
+            msg = f"TPU probe failed: {e.stderr.decode(errors='replace')[-400:]}"
+        if attempt == 1:
+            # a worker mid-restart often comes back within a few minutes —
+            # one bounded retry before declaring the round unmeasurable
+            print(f"# {msg}; retrying once in 120s", flush=True)
+            time.sleep(120)
+    print(f"# FATAL: {msg}; no metric can be measured", flush=True)
+    sys.exit(2)
 
 
 def main():
@@ -280,6 +285,20 @@ def main():
         "1v": pool.submit(build_logged, "1v", images_only, 1, 1),
     }
 
+    # Warm the persistent cache for the end-of-run view-ceiling probe NOW,
+    # in a concurrent subprocess (see view_ceiling_probe.py --compile-only):
+    # its ~400s fresh compile otherwise lands inside the end-of-budget
+    # timeout window and times out (observed in the first full-protocol
+    # round-5 run). Fire-and-forget; the real probe checks the cache.
+    import subprocess
+    import sys
+
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "scripts", "view_ceiling_probe.py")
+    probe_warm = subprocess.Popen(
+        [sys.executable, probe_path, "192", "--compile-only"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
     # Train-step compiles ride the same pool. Only the COMPILE runs here
     # (against ShapeDtypeStructs): the real TrainState (params + ~5 GB of
     # AdamW moments) is built at measurement time so it never overlaps the
@@ -316,7 +335,7 @@ def main():
             make_train_step(tmodel, tgeom, OverallLossConfig()),
             donate_argnums=(0,),
         ).lower(state_sds, batch_sds, jax.random.PRNGKey(2)).compile()
-        return step, tmodel, tparams_sds, batch
+        return step, state_sds, batch
 
     # (tb, tv, th, tw, key, want_mfu, need_s, remat): the small shape is the
     # cross-round comparison point (remat ON, matching rounds 3-4); the 518
@@ -393,6 +412,19 @@ def main():
             print(f"# {key}: {p50 * 1000:.0f} ms "
                   f"(phase {time.time() - t_build:.0f}s, "
                   f"elapsed {time.time() - _T0:.0f}s)", flush=True)
+            if vv <= 4:
+                # small configs: the fetch-per-call p50 is dominated by the
+                # ~25-30 ms axon-tunnel RTT that a local serving host would
+                # not pay; report the pipelined sustained rate alongside
+                # (same steady-state semantics as the headline config)
+                sus = timed_sustained(fn, params, vws, iters=10)
+                skey = key.replace("p50_e2e_latency_", "sustained_")
+                extras[skey] = round(sus * 1000, 1)
+                if vv == 1:
+                    extras["breakdown_1view"] = (
+                        f"{sus * 1000:.0f}ms device compute (sustained) + "
+                        f"{(p50 - sus) * 1000:.0f}ms tunnel RTT/fetch")
+                print(f"#   sustained: {sus * 1000:.0f} ms/call", flush=True)
             del vws
             if vv >= 32:
                 # per-config A100 bracket: attention is quadratic in views,
@@ -419,19 +451,19 @@ def main():
                 if _left() < need_s:
                     print(f"# deadline: skipping {key}", flush=True)
                     continue
-                step, tmodel, tparams_sds, batch = train_futs[key].result()
-                # numpy-filled params (instant at any size, same trick as
-                # __graft_entry__): a device init program would cost its own
-                # compile, and parameter VALUES don't change step timing.
-                # Loss stays finite at 0.02 noise.
+                step, state_sds, batch = train_futs[key].result()
+                # numpy-fill the WHOLE TrainState from the abstract state the
+                # step was lowered against (identical pytree metadata — a
+                # fresh create_train_state would embed different optax
+                # closures and fail the executable's pytree check). Values
+                # don't change step timing; int leaves (step counter) fill
+                # as 0, moment noise is as AdamW-shaped as zeros.
                 _rng = np.random.default_rng(0)
-                tparams = jax.tree.map(
+                state = jax.tree.map(
                     lambda s: jnp.asarray(
                         _rng.standard_normal(s.shape, dtype=np.float32)
                         * 0.02, s.dtype),
-                    tparams_sds)
-                state = create_train_state(tmodel, tparams, OptimConfig())
-                del tparams
+                    state_sds)
                 state, m = step(state, batch, jax.random.PRNGKey(2))
                 _ = float(m["loss"])  # warm
                 # Sustained: the real training loop dispatches steps
@@ -461,12 +493,76 @@ def main():
                 # view-ceiling ladder: the AdamW moments alone hold ~5 GB
                 # (2x fp32 params) and poisoned every ceiling probe down to
                 # 128 views when left alive.
-                del state, m, step, batch, tmodel
+                del state, m, step, batch
         except Exception as e:
             print(f"# train-step extra failed: {type(e).__name__}: {e}",
                   flush=True)
     else:
         print("# deadline: skipping train-step extra", flush=True)
+    import gc
+
+    gc.collect()
+
+    # ---- view-count ceiling demo (round-2 VERDICT item 2) -----------------
+    # The reference claims ~2000 views on a 140 GB GPU (README.md:132),
+    # pro-rating to ~230 on this 16 GB chip; 192 fits (XLA memory analysis
+    # 14.6 GiB), 256 needs 16.4 GiB and CRASHES the TPU worker, so the
+    # ladder tops out at 192. Each probe runs in a SUBPROCESS
+    # (scripts/view_ceiling_probe.py): in-process, the executables already
+    # loaded by the sweeps above pin enough device scratch that even 128
+    # views OOMs, and a fresh client also shields this process from
+    # allocator poisoning if a probe fails.
+    import subprocess
+    import sys
+
+    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "scripts", "view_ceiling_probe.py")
+    # reap the start-of-run cache-warming subprocess; give it a bounded
+    # grace period so the 192 probe below doesn't duplicate its compile
+    try:
+        probe_warm.wait(timeout=max(0.0, min(120.0, _left() - 200.0)))
+    except Exception:
+        probe_warm.kill()
+    ladder = (192, 160, 128)
+    for vv in ladder:
+        if _left() < 150:
+            print(f"# deadline: skipping {vv}-view ceiling probe", flush=True)
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, probe, str(vv)],
+                capture_output=True, text=True,
+                timeout=min(900.0, max(_left(), 150.0)),
+            )
+            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            res = json.loads(line) if line.startswith("{") else {}
+            if r.returncode == 0 and res.get("ok"):
+                extras[f"p50_e2e_latency_{vv}view_ms"] = res["ms"]
+                extras["view_ceiling_per_chip"] = vv
+                print(f"# view ceiling: {vv} views, {res['ms']:.0f} ms",
+                      flush=True)
+                break
+            err = (r.stderr.strip().splitlines()[-1][:160]
+                   if r.stderr.strip() else "")
+            print(f"# {vv}-view probe failed (rc={r.returncode}): {err}",
+                  flush=True)
+            # scan the FULL stderr+stdout for crash markers (ADVICE r3:
+            # the marker is often on an earlier line than the truncated
+            # last one), and skip the restart wait after the final rung —
+            # there is no next probe to protect
+            full = (r.stderr or "") + (r.stdout or "")
+            if vv != ladder[-1] and (
+                    "UNAVAILABLE" in full or "crashed" in full):
+                # a probe that crashed the remote TPU worker leaves it
+                # restarting; give it time before the next rung or that
+                # rung fails on connection, not memory
+                wait = min(45.0, max(_left() - 150.0, 0.0))
+                print(f"# waiting {wait:.0f}s for TPU worker restart",
+                      flush=True)
+                time.sleep(wait)
+        except Exception as e:
+            print(f"# {vv}-view probe failed: {type(e).__name__}", flush=True)
+
     # ---- extra: achieved flash TF/s at the global-attention shapes -------
     # (round-3 VERDICT item 8: the "kernel sustains its plateau across the
     # view sweep" claim, measured per round instead of asserted.) Times the
@@ -514,64 +610,6 @@ def main():
                 # always free the ~GB-scale device buffers — a failed shape
                 # must not poison the train-step / view-ceiling HBM budget
                 del qkv, out
-
-    import gc
-
-    gc.collect()
-
-    # ---- view-count ceiling demo (round-2 VERDICT item 2) -----------------
-    # The reference claims ~2000 views on a 140 GB GPU (README.md:132),
-    # pro-rating to ~230 on this 16 GB chip; 192 fits (XLA memory analysis
-    # 14.6 GiB), 256 needs 16.4 GiB and CRASHES the TPU worker, so the
-    # ladder tops out at 192. Each probe runs in a SUBPROCESS
-    # (scripts/view_ceiling_probe.py): in-process, the executables already
-    # loaded by the sweeps above pin enough device scratch that even 128
-    # views OOMs, and a fresh client also shields this process from
-    # allocator poisoning if a probe fails.
-    import subprocess
-    import sys
-
-    probe = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "scripts", "view_ceiling_probe.py")
-    ladder = (192, 160, 128)
-    for vv in ladder:
-        if _left() < 150:
-            print(f"# deadline: skipping {vv}-view ceiling probe", flush=True)
-            break
-        try:
-            r = subprocess.run(
-                [sys.executable, probe, str(vv)],
-                capture_output=True, text=True,
-                timeout=min(900.0, max(_left(), 150.0)),
-            )
-            line = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
-            res = json.loads(line) if line.startswith("{") else {}
-            if r.returncode == 0 and res.get("ok"):
-                extras[f"p50_e2e_latency_{vv}view_ms"] = res["ms"]
-                extras["view_ceiling_per_chip"] = vv
-                print(f"# view ceiling: {vv} views, {res['ms']:.0f} ms",
-                      flush=True)
-                break
-            err = (r.stderr.strip().splitlines()[-1][:160]
-                   if r.stderr.strip() else "")
-            print(f"# {vv}-view probe failed (rc={r.returncode}): {err}",
-                  flush=True)
-            # scan the FULL stderr+stdout for crash markers (ADVICE r3:
-            # the marker is often on an earlier line than the truncated
-            # last one), and skip the restart wait after the final rung —
-            # there is no next probe to protect
-            full = (r.stderr or "") + (r.stdout or "")
-            if vv != ladder[-1] and (
-                    "UNAVAILABLE" in full or "crashed" in full):
-                # a probe that crashed the remote TPU worker leaves it
-                # restarting; give it time before the next rung or that
-                # rung fails on connection, not memory
-                wait = min(45.0, max(_left() - 150.0, 0.0))
-                print(f"# waiting {wait:.0f}s for TPU worker restart",
-                      flush=True)
-                time.sleep(wait)
-        except Exception as e:
-            print(f"# {vv}-view probe failed: {type(e).__name__}", flush=True)
 
     print(
         json.dumps(

@@ -148,14 +148,18 @@ class MapAnythingConfig:
     # padded to a multiple; nn/trunk.py pad_tokens_to).
     trunk_pad_tokens_to: Optional[int] = 128
     # nn.scan over encoder blocks and trunk (frame, global) pairs: O(1) HLO
-    # in depth, cutting full-model XLA compile from minutes to seconds per
-    # configuration (round-4 VERDICT item 2). Params live stacked
-    # (encoder/blocks/block, info_sharing/pairs/{frame,global});
-    # utils.weights.stack_scan_params converts the per-layer layout, and
-    # from_pretrained applies it automatically. Forward numerics are
-    # identical to the unrolled loops (tests/test_scan_layers.py). Off by
-    # default so existing per-layer checkpoints/tests are untouched;
-    # dinov2 encoder + alternating trunk (no seq_axis) only.
+    # in depth. Params live stacked (encoder/blocks/block,
+    # info_sharing/pairs/{frame,global}); utils.weights.stack_scan_params
+    # converts the per-layer layout, and from_pretrained applies it
+    # automatically. Forward numerics are identical to the unrolled loops
+    # (tests/test_scan_layers.py). NOTE: measured on the real chip, scan
+    # did NOT cut end-to-end XLA compile time at production shapes (32-view
+    # forward: 825 s scan vs 232 s unrolled — XLA's while-loop passes cost
+    # more than the smaller HLO saves), so bench.py attacks compile wall
+    # time with thread-parallel AOT compilation instead and this stays a
+    # memory/HLO-size tool. Off by default so existing per-layer
+    # checkpoints/tests are untouched; dinov2 encoder + alternating trunk
+    # (no seq_axis) only.
     scan_layers: bool = False
 
     trunk_dim: int = 1024

@@ -29,6 +29,12 @@ import numpy as np
 
 def main():
     v = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    # --compile-only: lower+compile the probe's two programs (populating the
+    # persistent XLA cache) WITHOUT touching device HBM, then exit. bench.py
+    # launches this concurrently with its AOT pool at start-up so the real
+    # end-of-run probe finds a warm cache instead of paying a ~400s fresh
+    # compile inside its end-of-budget timeout window.
+    compile_only = "--compile-only" in sys.argv
     cache_dir = os.path.expanduser("~/.cache/mapanything_tpu_xla")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
@@ -48,7 +54,6 @@ def main():
     geom = images_only_config()
     views2 = {"img": jnp.asarray(
         rng.normal(size=(1, 2, 518, 518, 3)).astype(np.float32) * 0.3)}
-    params = jit_init(model, jax.random.PRNGKey(0), views2, geom)
 
     fwd = jax.jit(lambda p, vw: model.apply(p, vw, geom,
                                             memory_efficient=True))
@@ -58,6 +63,21 @@ def main():
             apply_confidence_mask=True, view_chunk=8),
         donate_argnums=(0,),
     )
+
+    if compile_only:
+        params_sds = jax.eval_shape(
+            lambda: jit_init(model, jax.random.PRNGKey(0), views2, geom))
+        img_sds = jax.ShapeDtypeStruct((1, v, 518, 518, 3), jnp.float32)
+        preds_sds = jax.eval_shape(fwd, params_sds, {"img": img_sds})
+        t0 = time.time()
+        fwd.lower(params_sds, {"img": img_sds}).compile()
+        post.lower(preds_sds, img_sds).compile()
+        print(json.dumps({"ok": True, "compile_only": True, "view_count": v,
+                          "compile_s": round(time.time() - t0, 1)}),
+              flush=True)
+        return
+
+    params = jit_init(model, jax.random.PRNGKey(0), views2, geom)
     imgs = jnp.asarray(
         rng.normal(size=(1, v, 518, 518, 3)).astype(np.float32) * 0.3)
 
